@@ -8,10 +8,19 @@ simulation the reference lacks).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment presets JAX_PLATFORMS=axon (the real
+# TPU tunnel), where every jit compile is remote (~30s), and its
+# sitecustomize registers the plugin at interpreter startup — so the env
+# var alone is not enough; override the jax config as well. Tests must be
+# hermetic and fast; bench.py is what runs on the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
