@@ -14,6 +14,7 @@ Public API (mirrors reference src/Snappy.jl:3-5,20-93):
 """
 
 from .api import compress, uncompress
+from .parallel import compress_framed, mesh_1d, uncompress_framed
 from .core import (
     CodecConfig,
     CorruptInputError,
@@ -33,7 +34,10 @@ __all__ = [
     "InputTooLargeError",
     "SnappyError",
     "compress",
+    "compress_framed",
     "max_compressed_length",
+    "mesh_1d",
     "uncompress",
+    "uncompress_framed",
     "uncompressed_length",
 ]

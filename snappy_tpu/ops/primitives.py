@@ -54,7 +54,10 @@ def reach_from(start: jnp.ndarray, nxt: jnp.ndarray, n: int, rounds: int | None 
         rounds = ceil_log2(n + 1)
     # Extend with the absorbing sentinel slot at index n.
     jump = jnp.concatenate([nxt.astype(jnp.int32), jnp.array([n], jnp.int32)])
-    reach = jnp.zeros(n + 1, jnp.bool_).at[start].set(True)
+    # One-hot(start), derived from `jump` so it inherits its varying-axis
+    # type under shard_map (a constant-built carry would mismatch the loop
+    # output's manual axes).
+    reach = (jnp.arange(n + 1, dtype=jnp.int32) + jump * 0) == start
 
     def body(_, state):
         reach, jump = state

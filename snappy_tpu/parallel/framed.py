@@ -1,0 +1,146 @@
+"""Framed container: the distributed/parallel-native stream format.
+
+The raw Snappy format is one sequential tag stream — decodable anywhere,
+but its tag boundaries are only discoverable by scanning (the reference's
+sequential loop, or our pointer-doubling pass). The framed container
+records what the raw format throws away: per-block compressed sizes and
+checksums. That makes decode embarrassingly parallel (each block is an
+independent headerless tag stream), makes the stream resumable at any
+block boundary (SURVEY.md §5 checkpoint/resume analogue), and gives
+integrity checking the raw format lacks.
+
+Layout (all little-endian):
+
+    magic      8s   b"SNPTPU01"
+    flags      u32  bit0 = per-block crc32c of the uncompressed block
+    block_size u32  uncompressed bytes per block (last may be short)
+    total_len  u64  uncompressed stream length
+    n_blocks   u32
+    index      n_blocks * u32          compressed byte length per block
+    [crcs      n_blocks * u32]         if flags&1
+    payload    concatenated headerless block tag streams
+
+The payload blocks are byte-identical to the blocks a raw stream would
+contain (reference src/Snappy.jl:29-33 concatenates exactly these), so
+``frame_to_raw`` is a pure reframing that never touches block bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ..core import varint
+from ..core.config import DEFAULT_FRAME_CONFIG, FrameConfig
+from ..core.errors import CorruptInputError
+
+MAGIC = b"SNPTPU01"
+_HEADER = struct.Struct("<8sIIQI")
+FLAG_CRC = 1
+
+
+class FrameIndex:
+    """Parsed frame header + block index (host-side metadata)."""
+
+    __slots__ = ("flags", "block_size", "total_len", "comp_lens", "crcs", "payload_start")
+
+    def __init__(self, flags, block_size, total_len, comp_lens, crcs, payload_start):
+        self.flags = flags
+        self.block_size = block_size
+        self.total_len = total_len
+        self.comp_lens = comp_lens
+        self.crcs = crcs
+        self.payload_start = payload_start
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.comp_lens)
+
+    def block_ranges(self) -> list[tuple[int, int]]:
+        """(start, end) byte range of each block's tag stream in the frame.
+
+        A resumable reader restarts from the first block whose output it has
+        not yet committed — blocks are stateless and idempotent."""
+        out = []
+        off = self.payload_start
+        for cl in self.comp_lens:
+            out.append((off, off + int(cl)))
+            off += int(cl)
+        return out
+
+    def block_ulen(self, i: int) -> int:
+        if i < self.n_blocks - 1:
+            return self.block_size
+        return self.total_len - self.block_size * (self.n_blocks - 1)
+
+
+def parse_index(frame: bytes) -> FrameIndex:
+    if len(frame) < _HEADER.size:
+        raise CorruptInputError("frame too short")
+    magic, flags, block_size, total_len, n_blocks = _HEADER.unpack_from(frame, 0)
+    if magic != MAGIC:
+        raise CorruptInputError("bad frame magic")
+    if block_size < 1 or block_size > 1 << 16:
+        raise CorruptInputError("bad frame block size")
+    expect_blocks = -(-total_len // block_size) if total_len else 0
+    if n_blocks != expect_blocks:
+        raise CorruptInputError("frame block count mismatch")
+    off = _HEADER.size
+    comp_lens = np.frombuffer(frame, np.uint32, n_blocks, off)
+    off += 4 * n_blocks
+    crcs = None
+    if flags & FLAG_CRC:
+        crcs = np.frombuffer(frame, np.uint32, n_blocks, off)
+        off += 4 * n_blocks
+    if off + int(comp_lens.sum()) > len(frame):
+        raise CorruptInputError("frame payload truncated")
+    return FrameIndex(flags, block_size, total_len, comp_lens, crcs, off)
+
+
+def build_frame(
+    block_streams: list[bytes], block_raws: list[bytes] | None, total_len: int, config: FrameConfig = DEFAULT_FRAME_CONFIG
+) -> bytes:
+    """Assemble a frame from per-block tag streams (+ raw blocks for crcs)."""
+    flags = FLAG_CRC if config.checksum else 0
+    parts = [
+        _HEADER.pack(MAGIC, flags, config.block_size, total_len, len(block_streams)),
+        np.array([len(s) for s in block_streams], np.uint32).tobytes(),
+    ]
+    if config.checksum:
+        assert block_raws is not None
+        parts.append(np.array([zlib.crc32(b) for b in block_raws], np.uint32).tobytes())
+    parts.extend(block_streams)
+    return b"".join(parts)
+
+
+def frame_to_raw(frame: bytes) -> bytes:
+    """Reframe to the wire-compatible raw stream: varint header + the very
+    same block tag streams, concatenated."""
+    idx = parse_index(frame)
+    if idx.block_size != 1 << 16:
+        # Raw snappy decoders assume <=64 KiB offsets; any block_size <= 64K
+        # still yields a valid raw stream.
+        pass
+    parts = [varint.encode32(idx.total_len)]
+    for s, e in idx.block_ranges():
+        parts.append(frame[s:e])
+    return b"".join(parts)
+
+
+def raw_to_frame(raw: bytes, config: FrameConfig = DEFAULT_FRAME_CONFIG) -> bytes:
+    """Reframe a raw stream into a frame (requires decoding to find block
+    boundaries — raw streams do not record them)."""
+    from ..api import uncompress
+    from .host import compress_framed
+
+    return compress_framed(uncompress(raw), config=config)
+
+
+def verify_crcs(idx: FrameIndex, blocks_out: list[bytes]) -> None:
+    if idx.crcs is None:
+        return
+    for i, b in enumerate(blocks_out):
+        if zlib.crc32(b) != int(idx.crcs[i]):
+            raise CorruptInputError(f"crc mismatch in block {i}")

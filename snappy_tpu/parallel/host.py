@@ -1,0 +1,95 @@
+"""Host drivers for the framed codec path (single-chip and mesh-sharded).
+
+Splits streams into independent 64 KiB blocks, dispatches the batched XLA
+kernels (optionally shard_map'd over a device mesh), and assembles/parses
+frames. This is the production path for large streams; the raw-format API
+(snappy_tpu.compress/uncompress) stays wire-compatible with libsnappy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core.config import DEFAULT_FRAME_CONFIG, FrameConfig
+from ..core.errors import CorruptInputError
+from ..ops import decode_xla, encode_xla
+from . import distributed, framed
+
+
+def _bucket(n: int, floor: int = 1) -> int:
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
+
+
+def _blockify(inp: np.ndarray, block_size: int, nb_padded: int) -> tuple[np.ndarray, np.ndarray]:
+    buf = np.zeros((nb_padded, block_size + encode_xla.ENC_PAD), np.uint8)
+    blens = np.zeros(nb_padded, np.int32)
+    n = len(inp)
+    n_blocks = -(-n // block_size) if n else 0
+    for i in range(n_blocks):
+        chunk = inp[i * block_size : (i + 1) * block_size]
+        buf[i, : len(chunk)] = chunk
+        blens[i] = len(chunk)
+    return buf, blens
+
+
+def compress_framed(data, config: FrameConfig = DEFAULT_FRAME_CONFIG, mesh=None) -> bytes:
+    """Compress into the framed container (parallel-decodable, checksummed)."""
+    inp = np.frombuffer(memoryview(data if not isinstance(data, str) else data.encode()), np.uint8) if not isinstance(data, np.ndarray) else data
+    n = len(inp)
+    bs = config.block_size
+    n_blocks = -(-n // bs) if n else 0
+    if n_blocks == 0:
+        return framed.build_frame([], [], 0, config)
+    nb = _bucket(n_blocks)
+    if mesh is not None:
+        nb = distributed.pad_block_count(nb, mesh.devices.size)
+    buf, blens = _blockify(inp, bs, nb)
+    if mesh is not None:
+        out, olens = distributed.compress_blocks(buf, blens, mesh)
+    else:
+        out, olens = encode_xla.encode_blocks_jit(nb)(jnp.asarray(buf), jnp.asarray(blens))
+    out = np.asarray(out)
+    olens = np.asarray(olens)
+    streams = [out[i, : olens[i]].tobytes() for i in range(n_blocks)]
+    raws = [inp[i * bs : min((i + 1) * bs, n)].tobytes() for i in range(n_blocks)] if config.checksum else None
+    return framed.build_frame(streams, raws, n, config)
+
+
+def uncompress_framed(frame: bytes, mesh=None) -> bytes:
+    """Decode a framed stream block-parallel (optionally mesh-sharded)."""
+    idx = framed.parse_index(frame)
+    if idx.n_blocks == 0:
+        return b""
+    ranges = idx.block_ranges()
+    cmax = _bucket(max(int(e - s) for s, e in ranges), 64)
+    nb = _bucket(idx.n_blocks)
+    if mesh is not None:
+        nb = distributed.pad_block_count(nb, mesh.devices.size)
+    comp = np.zeros((nb, cmax + decode_xla.COMP_PAD), np.uint8)
+    clens = np.zeros(nb, np.int32)
+    ulens = np.zeros(nb, np.int32)
+    fbuf = np.frombuffer(frame, np.uint8)
+    for i, (s, e) in enumerate(ranges):
+        comp[i, : e - s] = fbuf[s:e]
+        clens[i] = e - s
+        ulens[i] = idx.block_ulen(i)
+    out_size = _bucket(int(idx.block_size), 64)
+    if mesh is not None:
+        out, ok, total = distributed.decompress_blocks(comp, clens, ulens, mesh, out_size)
+    else:
+        out, ok, total = decode_xla.decode_blocks_jit(cmax + decode_xla.COMP_PAD, out_size)(
+            jnp.asarray(comp), jnp.asarray(clens), jnp.asarray(ulens)
+        )
+    ok = np.asarray(ok)
+    if not bool(ok[: idx.n_blocks].all()):
+        bad = int(np.flatnonzero(~ok[: idx.n_blocks])[0])
+        raise CorruptInputError(f"corrupt framed block {bad}")
+    out = np.asarray(out)
+    blocks = [out[i, : idx.block_ulen(i)].tobytes() for i in range(idx.n_blocks)]
+    framed.verify_crcs(idx, blocks)
+    return b"".join(blocks)
