@@ -258,7 +258,8 @@ def encode_block(
         jnp.where(delta == 1, nm1 & 0xFF, nm1 >> 8),
     )
     body_idx = jnp.clip(p + delta - hl_s, 0, n + ENC_PAD - 1)
-    lit_byte = jnp.where(delta < hl_s, hdr, block_padded[body_idx].astype(jnp.int32))
+    # int32 copy for the gather: uint8 gathers run at scalar rate on TPU.
+    lit_byte = jnp.where(delta < hl_s, hdr, block_padded.astype(jnp.int32)[body_idx])
 
     out = jnp.where(seg_is_copy, copy_byte, lit_byte).astype(jnp.uint8)
     return out, olen
