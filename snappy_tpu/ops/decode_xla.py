@@ -117,10 +117,11 @@ def decode_padded(comp_padded: jnp.ndarray, clen, ulen, start, out_size: int):
     # --- materialize: scatter per-tag records to their output start.
     t_opos = jnp.where(is_tag, opos, nu)  # invalid -> dropped
     out_iota = jnp.arange(nu, dtype=jnp.int32)
-    mark = jnp.zeros(nu, jnp.bool_).at[t_opos].set(True, mode="drop")
+    # int32 throughout: bool scatters/gathers lower to scalar loops on TPU.
+    mark = jnp.zeros(nu, jnp.int32).at[t_opos].set(1, mode="drop") > 0
     seg_lit = jnp.zeros(nu, jnp.int32).at[t_opos].set(pos + 1 + t["taglen"], mode="drop")
     seg_off = jnp.zeros(nu, jnp.int32).at[t_opos].set(t["offset"], mode="drop")
-    seg_iscopy = jnp.zeros(nu, jnp.bool_).at[t_opos].set(t["is_copy"], mode="drop")
+    seg_iscopy = jnp.zeros(nu, jnp.int32).at[t_opos].set(t["is_copy"].astype(jnp.int32), mode="drop")
 
     # Segment-start position for every output byte, then per-byte delta.
     spos = jax.lax.cummax(jnp.where(mark, out_iota, 0))
@@ -131,7 +132,7 @@ def decode_padded(comp_padded: jnp.ndarray, clen, ulen, start, out_size: int):
     # scalar rate (~100x slower than int32 gathers, measured on v5e).
     comp_i32 = comp_padded.astype(jnp.int32)
     lit_val = comp_i32[lit_idx]
-    src = jnp.where(seg_iscopy[spos], out_iota - seg_off[spos], out_iota)
+    src = jnp.where(seg_iscopy[spos] > 0, out_iota - seg_off[spos], out_iota)
     src = jnp.clip(src, 0, nu - 1)
 
     # --- resolve LZ back-reference chains to literal fixpoints.

@@ -82,8 +82,9 @@ def _find_candidates(u32: jnp.ndarray, blen) -> tuple[jnp.ndarray, jnp.ndarray]:
     sv = u32[order]
 
     def prev_k(k: int) -> jnp.ndarray:
-        same = jnp.concatenate([jnp.zeros(k, jnp.bool_), sv[k:] == sv[:-k]])
-        prev = jnp.where(same, jnp.concatenate([jnp.zeros(k, jnp.int32), order[:-k]]), -1)
+        # int32 shift/concat: bool minor-dim relayouts run at scalar rate.
+        same = jnp.concatenate([jnp.zeros(k, jnp.int32), (sv[k:] == sv[:-k]).astype(jnp.int32)])
+        prev = jnp.where(same > 0, jnp.concatenate([jnp.zeros(k, jnp.int32), order[:-k]]), -1)
         cand = jnp.zeros(n, jnp.int32).at[order].set(prev)
         # Candidates whose 4-byte group straddles the block end are unusable
         # (their tail is padding).
@@ -173,8 +174,8 @@ def encode_block(
     # profitable match — greedy-at-every-position otherwise fragments
     # coverage into short copies the reference's sparser probe never takes.
     profit_next = jnp.concatenate([profit[1:], jnp.zeros(1, profit.dtype)])
-    found_next = jnp.concatenate([found[1:], jnp.zeros(1, jnp.bool_)])
-    lazy_demote = found_next & (profit_next > profit)
+    ml_next = jnp.concatenate([ml[1:], jnp.zeros(1, ml.dtype)])
+    lazy_demote = (ml_next >= 4) & (profit_next > profit)
 
     def parse(min_p: int):
         """Greedy parse (orbit of 0 under next) for one profit threshold.
@@ -190,8 +191,9 @@ def encode_block(
         reached = reach_from(jnp.int32(0), nxt, n) & (pos < blen)
 
         is_copy_tag = reached & is_match
-        reached_prev = jnp.concatenate([jnp.array([False]), reached[:-1]])
-        is_lit_start = reached & (~is_match) & (~reached_prev)
+        reached_i = reached.astype(jnp.int32)
+        reached_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), reached_i[:-1]])
+        is_lit_start = reached & (~is_match) & (reached_prev == 0)
 
         # Literal run length: distance to the next copy tag (or block end).
         INF = jnp.int32(n + 1)
@@ -222,14 +224,15 @@ def encode_block(
     t_off = jnp.where(is_tag, out_off, BLOCK_MAX_OUT)
     mo = BLOCK_MAX_OUT
     out_iota = jnp.arange(mo, dtype=jnp.int32)
-    mark = jnp.zeros(mo, jnp.bool_).at[t_off].set(True, mode="drop")
+    # int32 throughout: bool scatters/gathers lower to scalar loops on TPU.
+    mark = jnp.zeros(mo, jnp.int32).at[t_off].set(1, mode="drop") > 0
     seg_p = jnp.zeros(mo, jnp.int32).at[t_off].set(pos, mode="drop")
-    seg_copy = jnp.zeros(mo, jnp.bool_).at[t_off].set(is_copy_tag, mode="drop")
+    seg_copy = jnp.zeros(mo, jnp.int32).at[t_off].set(is_copy_tag.astype(jnp.int32), mode="drop")
 
     spos = jax.lax.cummax(jnp.where(mark, out_iota, 0))
     delta = out_iota - spos
     p = seg_p[spos]  # input position of my tag
-    seg_is_copy = seg_copy[spos]
+    seg_is_copy = seg_copy[spos] > 0
 
     # Copy record fields (gathered per output byte).
     d = offset[p]

@@ -31,12 +31,29 @@ def le32_at_every_position(padded_u8: jnp.ndarray) -> jnp.ndarray:
 
     ``padded_u8`` must have >= 4 bytes of slack past the last meaningful
     position (the caller zero-pads, mirroring the reference's blind 4-byte
-    trailer load, reference src/internal.jl:421-430). Returns uint32[n-4+1
-    ... actually len(padded)-? ] aligned so result[i] = LE32(padded[i:i+4])
-    for i in [0, len-4].
+    trailer load, reference src/internal.jl:421-430). Returns
+    uint32[len-3] so result[i] = LE32(padded[i:i+4]) for i in [0, len-4].
+
+    Word-based: bitcast to uint32 words, then combine each word with its
+    successor per byte phase. Byte-granular shifted slices on the minor
+    dimension relayout at scalar rate on TPU; word ops don't.
     """
-    b = padded_u8.astype(jnp.uint32)
-    return b[:-3] | (b[1:-2] << 8) | (b[2:-1] << 16) | (b[3:] << 24)
+    n = padded_u8.shape[-1]
+    nw = n // 4
+    words = jax.lax.bitcast_convert_type(
+        padded_u8[..., : nw * 4].reshape(*padded_u8.shape[:-1], nw, 4), jnp.uint32
+    )
+    nxt = jnp.concatenate([words[..., 1:], jnp.zeros_like(words[..., :1])], axis=-1)
+    # result for byte position 4*w + ph: (words[w] >> 8*ph) | (nxt[w] << (32-8*ph))
+    phases = []
+    for ph in range(4):
+        if ph == 0:
+            phases.append(words)
+        else:
+            phases.append((words >> (8 * ph)) | (nxt << (32 - 8 * ph)))
+    stacked = jnp.stack(phases, axis=-1)  # [..., nw, 4]
+    out = stacked.reshape(*padded_u8.shape[:-1], nw * 4)
+    return out[..., : n - 3]
 
 
 def reach_from(start: jnp.ndarray, nxt: jnp.ndarray, n: int, rounds: int | None = None) -> jnp.ndarray:
@@ -52,12 +69,14 @@ def reach_from(start: jnp.ndarray, nxt: jnp.ndarray, n: int, rounds: int | None 
     """
     if rounds is None:
         rounds = ceil_log2(n + 1)
-    # Extend with the absorbing sentinel slot at index n.
+    # Extend with the absorbing sentinel slot at index n. All arrays in the
+    # loop are int32: bool (1-byte) scatters/gathers lower to scalar loops
+    # on TPU, ~100x slower than 32-bit ones.
     jump = jnp.concatenate([nxt.astype(jnp.int32), jnp.array([n], jnp.int32)])
     # One-hot(start), derived from `jump` so it inherits its varying-axis
     # type under shard_map (a constant-built carry would mismatch the loop
     # output's manual axes).
-    reach = (jnp.arange(n + 1, dtype=jnp.int32) + jump * 0) == start
+    reach = ((jnp.arange(n + 1, dtype=jnp.int32) + jump * 0) == start).astype(jnp.int32)
 
     def body(_, state):
         reach, jump = state
@@ -66,7 +85,7 @@ def reach_from(start: jnp.ndarray, nxt: jnp.ndarray, n: int, rounds: int | None 
         return reach, jump
 
     reach, _ = jax.lax.fori_loop(0, rounds, body, (reach, jump))
-    return reach[:n]
+    return reach[:n] > 0
 
 
 def resolve_sources(src: jnp.ndarray, rounds: int | None = None) -> jnp.ndarray:
