@@ -26,6 +26,19 @@ def ceil_log2(n: int) -> int:
     return max(1, int(n - 1).bit_length())
 
 
+def isolate(*xs):
+    """optimization_barrier: keep gathers/scatters out of XLA loop fusions.
+
+    TPU XLA's fast gather/scatter emitters only apply to STANDALONE ops;
+    once fused with elementwise neighbors the whole fusion lowers to a
+    scalar loop (~1000x slower — measured: a bare 2M-element gather runs
+    ~20us, the same gather inside a fusion ~21ms). Barriers around the
+    operands/results of every hot gather/scatter keep them standalone.
+    """
+    out = jax.lax.optimization_barrier(xs)
+    return out[0] if len(xs) == 1 else out
+
+
 def le32_at_every_position(padded_u8: jnp.ndarray) -> jnp.ndarray:
     """uint32 little-endian load at every byte position.
 
@@ -80,7 +93,9 @@ def reach_from(start: jnp.ndarray, nxt: jnp.ndarray, n: int, rounds: int | None 
 
     def body(_, state):
         reach, jump = state
+        reach, jump = isolate(reach, jump)
         reach = reach.at[jump].max(reach, mode="drop")
+        reach, jump = isolate(reach, jump)
         jump = jump[jump]
         return reach, jump
 
@@ -101,6 +116,7 @@ def resolve_sources(src: jnp.ndarray, rounds: int | None = None) -> jnp.ndarray:
         rounds = ceil_log2(n + 1)
 
     def body(_, s):
+        s = isolate(s)
         return jnp.take_along_axis(s, s, axis=-1) if s.ndim > 1 else s[s]
 
     return jax.lax.fori_loop(0, rounds, body, src.astype(jnp.int32))
