@@ -14,8 +14,25 @@ import jax.numpy as jnp
 
 from ..core.config import DEFAULT_FRAME_CONFIG, FrameConfig
 from ..core.errors import CorruptInputError
-from ..ops import decode_xla, encode_xla
+from ..ops import decode_xla, encode_xla, pallas_decode
 from . import distributed, framed
+
+
+def block_decoder(cmax_padded: int, out_size: int):
+    """Best single-host block decoder for the current platform.
+
+    On a real TPU the Pallas sequential-tag kernel is ~50x the XLA
+    data-parallel decoder (gathers run at scalar rate there); everywhere
+    else (CPU tests, interpret) the XLA decoder wins.
+    """
+    try:
+        import jax
+
+        if jax.devices()[0].platform == "tpu" and out_size % pallas_decode.LANES == 0:
+            return pallas_decode.decode_blocks_jit(cmax_padded, out_size)
+    except Exception:
+        pass
+    return decode_xla.decode_blocks_jit(cmax_padded, out_size)
 
 
 def _bucket(n: int, floor: int = 1) -> int:
@@ -82,7 +99,7 @@ def uncompress_framed(frame: bytes, mesh=None) -> bytes:
     if mesh is not None:
         out, ok, total = distributed.decompress_blocks(comp, clens, ulens, mesh, out_size)
     else:
-        out, ok, total = decode_xla.decode_blocks_jit(cmax + decode_xla.COMP_PAD, out_size)(
+        out, ok, total = block_decoder(cmax + decode_xla.COMP_PAD, out_size)(
             jnp.asarray(comp), jnp.asarray(clens), jnp.asarray(ulens)
         )
     ok = np.asarray(ok)
