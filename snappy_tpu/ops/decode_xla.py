@@ -44,6 +44,7 @@ from .primitives import (
     WORDMASK_U32,
     ceil_log2,
     exclusive_cumsum,
+    isolate,
     le32_at_every_position,
 )
 
@@ -53,8 +54,15 @@ COMP_PAD = 4
 
 
 def _take(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Batched gather on the fast TPU path (plain 2-D take_along_axis)."""
-    return jnp.take_along_axis(x, idx, axis=-1)
+    """Batched gather on the fast TPU path (plain 2-D take_along_axis).
+
+    Operands and result are fenced with optimization barriers: XLA:TPU's
+    fast gather emitter applies only to STANDALONE gathers — fused with
+    elementwise neighbors the whole fusion lowers to a scalar loop
+    (measured here: parse stage 48.7ms -> sub-ms once fenced).
+    """
+    x, idx = isolate(x, idx)
+    return isolate(jnp.take_along_axis(x, idx, axis=-1))
 
 
 def parse_all_positions(comp_padded: jnp.ndarray, limit: int):

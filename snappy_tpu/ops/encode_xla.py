@@ -286,6 +286,21 @@ def encode_blocks_jit(n_blocks: int, cap: int = _MATCH_CAP):
 MAX_BATCH_BLOCKS = 16
 
 
+def _best_encoder(nb: int):
+    """Platform pick: Pallas greedy kernel on TPU, the XLA array program
+    elsewhere (gathers run at scalar rate on TPU, see pallas_encode.py)."""
+    try:
+        import jax
+
+        if jax.devices()[0].platform == "tpu":
+            from . import pallas_encode
+
+            return pallas_encode.encode_blocks_jit(BLOCK_SIZE)
+    except Exception:
+        pass
+    return encode_blocks_jit(nb)
+
+
 def compress_host(inp: np.ndarray) -> bytes:
     """Full host-side compress: split into blocks, run the batched device
     encoder, trim and concatenate under the varint header
@@ -308,7 +323,7 @@ def compress_host(inp: np.ndarray) -> bytes:
             chunk = inp[b * BLOCK_SIZE : (b + 1) * BLOCK_SIZE]
             buf[i, : len(chunk)] = chunk
             blens[i] = len(chunk)
-        out, olens = encode_blocks_jit(nb)(jnp.asarray(buf), jnp.asarray(blens))
+        out, olens = _best_encoder(nb)(jnp.asarray(buf), jnp.asarray(blens))
         out = np.asarray(out)
         olens = np.asarray(olens)
         for i in range(chunk_blocks):
