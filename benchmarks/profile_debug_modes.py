@@ -1,9 +1,8 @@
 """Time the current pallas_decode kernel at each debug level (diagnostic).
 
-  mode 2: tag walk only (records not emitted, no drain)  -> scalar walk floor
-  mode 1: walk + record emission into SMEM (no drain)    -> phase-1 cost
-  mode 0: full kernel (walk + emission + register drain) -> library path
-  mode 9: walk + emission + RMW drain                    -> alt phase-2
+  mode 2: walk only (records emitted, no drains)  -> scalar walk cost
+  mode 3: walk + literal drain                    -> + literal move cost
+  mode 0: full kernel (walk + both drains)        -> library path
 
 Also prints tag/record statistics from the CPU oracle so times convert to
 cycles/tag and cycles/record.
@@ -33,20 +32,29 @@ from snappy_tpu.ops.pallas_decode import COMP_PAD, LANES, _build
 from bench import corpus_stream
 
 BATCH = int(os.environ.get("PROF_BATCH", "128"))
-CLOCK_GHZ = 0.94
+# TPU clock for cycles/tag conversion; override for other generations.
+CLOCK_GHZ = float(os.environ.get("PROF_CLOCK_GHZ", "0.94"))
 
 
 def time_meta(fn, args, iters: int = 7):
+    """Min/median seconds, with the (large, ~24 ms on the tunnelled TPU)
+    host fence cost calibrated out the same way bench.time_dispatch does."""
+
+    def fence(out):
+        leaf = jax.tree_util.tree_leaves(out)[-1]
+        _ = np.asarray(leaf.reshape(-1)[-1:])
+
     out = fn(*args)
-    leaf = jax.tree_util.tree_leaves(out)[-1]
-    _ = np.asarray(leaf.reshape(-1)[-1:])
+    fence(out)
+    t0 = time.perf_counter()
+    fence(out)
+    fence_cost = time.perf_counter() - t0
     times = []
     for _i in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        leaf = jax.tree_util.tree_leaves(out)[-1]
-        _ = np.asarray(leaf.reshape(-1)[-1:])
-        times.append(time.perf_counter() - t0)
+        fence(out)
+        times.append(max(time.perf_counter() - t0 - fence_cost, 1e-9))
     times.sort()
     return times[0], times[len(times) // 2]
 
@@ -94,6 +102,8 @@ def tag_stats(stream: bytes, ulen: int) -> tuple[int, int]:
                 ln = hi6 + 1
                 off = int.from_bytes(buf[ip + 1 : ip + 5].tobytes(), "little")
                 ip += 5
+            if off == 0:  # mirrors the kernel's f > 0 corruption check
+                raise ValueError("corrupt stream: copy offset 0")
             if off < ln:  # RLE doubling sub-moves
                 done = off
                 recs += spans(op, off)
@@ -139,12 +149,14 @@ def main():
     dulens = jax.device_put(np.full(BATCH, BLOCK_SIZE, np.int32))
 
     # prepass alone
-    pp = jax.jit(lambda c: pallas_decode.parse_cmd(c))
-    tmin, tmed = time_meta(pp, (dcomp,))
-    print(f"parse_cmd prepass: {tmin*1e3:8.3f} / {tmed*1e3:8.3f} ms (min/med)", flush=True)
+    ncp = -(-cmax // 128) * 128
+    comp_pp = jax.device_put(np.pad(comp_np, ((0, 0), (0, ncp - comp_np.shape[1]))))
+    pp = jax.jit(lambda c, l: pallas_decode.parse_cmds(c, l))
+    tmin, tmed = time_meta(pp, (comp_pp, dclens))
+    print(f"parse_cmds prepass: {tmin*1e3:8.3f} / {tmed*1e3:8.3f} ms (min/med)", flush=True)
 
     prev = 0.0
-    for name, mode in [("walkonly", 2), ("walk+emit", 1), ("full", 0), ("rmwdrain", 9)]:
+    for name, mode in [("walkonly", 2), ("walk+lit", 3), ("full", 0)]:
         fn = jax.jit(_build(cmax, BLOCK_SIZE, False, debug_mode=mode))
         tmin, tmed = time_meta(fn, (dcomp, dclens, dulens))
         cyc_tag = tmin * CLOCK_GHZ * 1e9 / tags

@@ -1,41 +1,53 @@
-"""Pallas TPU decoder: two-phase record kernel, one grid step per block.
+"""Pallas TPU decoder: lean scalar tag walk + class-partitioned record drains.
 
-Why this shape (v2 — measured on v5e): the v1 kernel fused the tag walk
-with per-tag byte moves; each move's scalar->vector->VMEM latency chain
-(~74 cycles) serialized behind the walk. Microbenchmarks
-(benchmarks/profile_floor.py) show the two halves are individually fast
-when decoupled:
+The snappy tag stream is a serial chain (reference src/internal.jl:411-466:
+each tag's length determines where the next begins), so one scalar-core
+walk per 64 KiB block is unavoidable. Everything else is arranged around
+three measured v5e facts (benchmarks/profile_alias.py, profile_drains.py):
 
-  - a MINIMAL tag walk (one SMEM load per tag, two adds) runs at ~8
-    cycles/tag — the only truly sequential dependence in the format
-    (reference src/internal.jl:411-466 is this chain plus byte fiddling);
-  - independent, branch-free one-row moves pipeline at ~14 cycles each
-    when unrolled (vs ~74 serialized).
+  1. A minimal SMEM walk runs at ~9 cycles/tag; every extra field decode
+     in the walk costs issue slots on the single scalar unit.
+  2. Independent one-row moves with masked stores run at ~7 cycles/record
+     when their loads come from a ref that is never stored to.
+  3. Mosaic orders any VMEM load after prior stores to the same ref
+     (~72-cycle stall), regardless of actual overlap.
 
-So the kernel splits decode into chunked phases over SMEM record scratch:
+Structure per block (grid step):
 
-  PHASE 1 (scalar core): walk the tag chain over a packed per-position
-  command word (CMD, built by an elementwise XLA prepass — the CHAR_TABLE
-  of the reference, src/internal.jl:47-80, evaluated arithmetically at
-  every byte position on the VPU). Each tag is validated (all reference
-  corruption checks: src/internal.jl:493-518, src/Snappy.jl:50) and
-  expanded into ROW-ALIGNED move records (dst span within one 128-lane
-  row): literals split at row boundaries; self-overlapping copies (RLE,
-  reference src/internal.jl:469-509) expand into chunk-doubling
-  sub-moves, so phase 2 needs no special cases.
+  PREPASS (XLA, vector): every byte position is decoded as a candidate tag
+  into two packed words — cmdA = output length | input advance | is-literal
+  | statically-checkable validity (bounds, offset!=0, oversize literal:
+  reference src/internal.jl:493-518), cmdB = copy offset | copy length.
+  Word-aligned arithmetic only (one single-element shift), because
+  byte-shifted slices at lane granularity relayout at scalar speed on TPU.
 
-  PHASE 2 (VPU, unrolled x4): execute records over a unified VMEM buffer
-  holding [compressed bytes | output bytes] — a literal is just a move
-  whose source lies in the comp region. Each record is one masked-merge
-  into a row ACCUMULATOR register carried across records; the accumulator
-  is flushed to VMEM only on row advance, and sources that touch the
-  in-flight row read the accumulator directly — so there is no VMEM
-  read-modify-write hazard chain, and the unrolled records pipeline.
+  WALK (scalar): fixed-count unrolled chunks over cmdA; per tag it stores
+  an (ip, op) record into the literal or copy class array (branch-free
+  counter advance), accumulates the validity AND, and advances. Positions
+  past the stream parse as valid no-ops, so the chunk needs no per-tag
+  bound checks; invalid positions parse as zero-advance, pinning the walk
+  so the chunk terminates with ok=0.
+
+  LITERAL DRAIN: literal bytes live in the compressed buffer, which is
+  never written — loads pipeline freely (fact 2). One masked-store move
+  per record; spans crossing an output row take a predicated second store;
+  >128-byte literals take a row loop (rare: 0.1% on the corpus).
+
+  COPY DRAIN (ordered): groups of 8 — all loads, then all masked stores,
+  paying the ref-ordering stall once per group (fact 3). Self-overlapping
+  (RLE, reference src/internal.jl:469-509) and near copies whose sources
+  row-overlap a groupmate's destination re-run serially after the group's
+  stores via a growing-step sub-move loop (doubling for RLE). Destination
+  monotonicity makes the hazard test one compare against the group
+  leader's output row.
+
+Literals drain before copies within a chunk, so copy sources (strictly
+older output) are always materialized: literal bytes by the literal pass,
+earlier copy bytes in order by the copy pass itself.
 
 Blocks are independent (reference src/Snappy.jl:29-33): grid = one step
-per block, Pallas double-buffers the HBM<->VMEM block DMAs. Output
-equality is bit-exact vs the CPU oracle on the full corpus
-(tests/test_pallas_decode.py).
+per block; Pallas double-buffers the HBM<->VMEM block DMAs. Bit-exactness
+vs the CPU oracle across the corpus: tests/test_pallas_decode.py.
 """
 
 from __future__ import annotations
@@ -53,73 +65,113 @@ LANES = 128
 # bounds (mirrors the reference's padded 4-byte trailer read,
 # src/internal.jl:421-430).
 COMP_PAD = 4
+# Copy offsets saturate here: a 17-bit value always fails the f <= op
+# check for 64 KiB blocks, so COPY_4's wide offsets stay detectably bad.
+F_SAT = 0x1FFFF
 
-# Record scratch: max records buffered before a phase-2 drain. One tag can
-# emit at most 513 records (a 64 KiB literal split into 128-byte rows), so
-# phase 1 yields to phase 2 while at least MARGIN slots remain.
-NREC = 16384
-MARGIN = 516
-F_SAT = 0x1FFFF  # 17-bit saturation for copy offsets (any real offset
-#                  above this is necessarily corrupt inside a 64 KiB block)
+# Walk chunk: tags per inner fixed-count loop; record arrays hold one
+# chunk plus the 8 no-op sentinel records appended for drain over-read.
+CHUNK = 1024
+WALK_UNROLL = 8
+GROUP = 8  # copy-drain batch width
 
-# --- CMD: packed per-position candidate-tag parse -------------------------
-# bit  0        is_copy
-# bits 1..3     taglen = number of extra tag bytes after the opcode (0..4)
-# literals:  bits 4..19 length-1 (16b);  bit 20 poison (true length-1
-#            overflows 16 bits — cannot be valid for block-sized outputs)
-# copies:    bits 4..9  length-1 (<=63 by the format);
-#            bits 10..26 offset, saturated at F_SAT
+# cmdA bit layout (per byte position)
+A_LEN_BITS = 0x1FFFF  # bits 0-16: output length (0 for pad/invalid)
+A_CX_SHIFT = 17  # bits 17-19: input advance minus the literal body
+A_LIT_SHIFT = 20  # bit 20: is-literal
+A_VALID_SHIFT = 21  # bit 21: statically valid (or padding)
+# cmdB bit layout (copy positions only)
+B_F_BITS = 0x1FFFF  # bits 0-16: offset, saturated at F_SAT
+B_N_SHIFT = 17  # bits 17-23: copy length (0 for pad/invalid)
 
 
-def parse_cmd(comp_u8_padded: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise candidate-tag parse at every byte position.
+def parse_cmds(comp_u8: jnp.ndarray, clens: jnp.ndarray):
+    """Candidate-tag parse at every byte position, word-aligned.
 
-    comp_u8_padded: uint8[B, NC + COMP_PAD] (zero slack). Returns
-    int32[B, NC] of CMD words. Pure VPU work — no gathers.
+    comp_u8: uint8[B, C] with C % 4 == 0 and >= COMP_PAD zero slack after
+    every stream; clens: int32[B]. Returns (cmdA, cmdB) int32[B, C].
+
+    All arithmetic is elementwise on the uint32 word view plus ONE
+    shift-by-one-word concat; byte positions p = 4q + r are handled as four
+    aligned planes interleaved back by a contiguous reshape. (A naive
+    byte-shifted-slice formulation costs ~27 ms per 128-block batch on
+    v5e from lane-unaligned relayouts; this runs at VPU speed.)
     """
-    nc = comp_u8_padded.shape[-1] - COMP_PAD
-    cu = comp_u8_padded.astype(jnp.uint32)
-    c = cu[..., :nc]
-    b1 = cu[..., 1 : nc + 1]
-    b2 = cu[..., 2 : nc + 2]
-    b3 = cu[..., 3 : nc + 3]
-    b4 = cu[..., 4 : nc + 4]
+    b, c = comp_u8.shape
+    assert c % 4 == 0
+    nw = c // 4
+    w = jax.lax.bitcast_convert_type(comp_u8.reshape(b, nw, 4), jnp.uint32)
+    w1 = jnp.concatenate([w[:, 1:], jnp.zeros((b, 1), jnp.uint32)], axis=1)
 
-    kind = c & 3
-    hi6 = (c >> 2).astype(jnp.int32)
-    is_copy = kind != 0
-    lit_extra = jnp.clip(hi6 - 59, 0, 4)
-    taglen = jnp.where(
-        is_copy,
-        jnp.where(kind == 1, 1, jnp.where(kind == 2, 2, 4)),
-        lit_extra,
-    )
+    def byte_at(k: int):
+        """All bytes at position p+k for the four planes, as uint32[B, NW][r]."""
+        return [
+            ((w >> (8 * (r + k))) & 0xFF) if r + k <= 3 else ((w1 >> (8 * (r + k - 4))) & 0xFF)
+            for r in range(4)
+        ]
 
-    # Literal length-1: LE trailer of lit_extra bytes (computed in uint32;
-    # poison marks >16-bit values instead of silently truncating).
-    tl = (
-        jnp.where(lit_extra >= 1, b1, 0)
-        | jnp.where(lit_extra >= 2, b2 << 8, 0)
-        | jnp.where(lit_extra >= 3, b3 << 16, 0)
-        | jnp.where(lit_extra >= 4, b4 << 24, 0)
-    )
-    lit_m1 = jnp.where(lit_extra > 0, tl, hi6.astype(jnp.uint32))
-    poison = (lit_m1 > 0xFFFF).astype(jnp.int32)
+    c0 = byte_at(0)
+    c1 = byte_at(1)
+    c2 = byte_at(2)
+    c3 = byte_at(3)
+    c4 = byte_at(4)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (b, nw), 1) * 4
+    clen = clens.astype(jnp.int32)[:, None]
 
-    # Copy length-1 and offset per tag kind (reference src/internal.jl:47-85).
-    cp_m1 = jnp.where(kind == 1, 3 + (hi6 & 7), hi6)
-    off = jnp.where(
-        kind == 1,
-        (((hi6 >> 3) & 7).astype(jnp.uint32) << 8) | b1,
-        jnp.where(kind == 2, b1 | (b2 << 8), jnp.minimum(b1 | (b2 << 8) | (b3 << 16) | (b4 << 24), jnp.uint32(F_SAT))),
-    ).astype(jnp.int32)
+    outs_a, outs_b = [], []
+    for r in range(4):
+        cc, b1, b2, b3, b4 = c0[r], c1[r], c2[r], c3[r], c4[r]
+        pos = qpos + r
+        kind = (cc & 3).astype(jnp.int32)
+        hi6 = (cc >> 2).astype(jnp.int32)
+        is_copy = kind != 0
 
-    payload = jnp.where(
-        is_copy,
-        (cp_m1 << 4) | (off << 10),
-        ((lit_m1.astype(jnp.int32) & 0xFFFF) << 4) | (poison << 20),
-    )
-    return is_copy.astype(jnp.int32) | (taglen << 1) | payload
+        # Literal: tag encodes len-1 directly (<60) or a 1-4 byte LE trailer
+        # (reference src/internal.jl:252-287).
+        extra = jnp.clip(hi6 - 59, 0, 4)
+        trailer = (
+            jnp.where(extra >= 1, b1, 0)
+            | jnp.where(extra >= 2, b2 << 8, 0)
+            | jnp.where(extra >= 3, b3 << 16, 0)
+            | jnp.where(extra >= 4, b4 << 24, 0)
+        )
+        lit_m1 = jnp.where(extra > 0, trailer, hi6.astype(jnp.uint32))
+        poison = lit_m1 > 0xFFFF  # cannot be valid inside a 64 KiB block
+        lit_len = (jnp.minimum(lit_m1, jnp.uint32(0xFFFF)) + 1).astype(jnp.int32)
+        cons_lit = 1 + extra + lit_len
+
+        # Copy: COPY_1/2/4 length and offset fields (reference
+        # src/internal.jl:47-85, 289-329).
+        taglen = jnp.where(kind == 1, 1, jnp.where(kind == 2, 2, 4))
+        cp_len = jnp.where(kind == 1, 4 + (hi6 & 7), hi6 + 1)
+        f_raw = jnp.where(
+            kind == 1,
+            (((hi6 >> 3) & 7).astype(jnp.uint32) << 8) | b1,
+            jnp.where(kind == 2, b1 | (b2 << 8), b1 | (b2 << 8) | (b3 << 16) | (b4 << 24)),
+        )
+        f = jnp.minimum(f_raw, jnp.uint32(F_SAT)).astype(jnp.int32)
+
+        valid_lit = (pos + cons_lit <= clen) & ~poison
+        valid_copy = (pos + 1 + taglen <= clen) & (f > 0)
+        valid = jnp.where(is_copy, valid_copy, valid_lit)
+
+        length = jnp.where(is_copy, cp_len, lit_len)
+        cx = jnp.where(is_copy, 1 + taglen, 1 + extra)
+        word_a = (
+            length
+            | (cx << A_CX_SHIFT)
+            | (jnp.where(is_copy, 0, 1) << A_LIT_SHIFT)
+            | (1 << A_VALID_SHIFT)
+        )
+        word_b = f | (cp_len << B_N_SHIFT)
+
+        pad = pos >= clen
+        outs_a.append(jnp.where(pad, 1 << A_VALID_SHIFT, jnp.where(valid, word_a, 0)))
+        outs_b.append(jnp.where(pad | ~valid | ~is_copy, 0, word_b))
+
+    cmd_a = jnp.stack(outs_a, axis=-1).reshape(b, c)
+    cmd_b = jnp.stack(outs_b, axis=-1).reshape(b, c)
+    return cmd_a, cmd_b
 
 
 def _roll(vec, shift, *, interpret: bool):
@@ -129,255 +181,263 @@ def _roll(vec, shift, *, interpret: bool):
     return pltpu.roll(vec, shift, 1)
 
 
+def _masked_store(ref, row_idx, m, keep, *, interpret: bool):
+    """Store row m into ref[0, row_idx, :] under lane mask keep."""
+    if interpret:
+        cur = ref[0, row_idx, :].reshape(1, LANES)
+        ref[0, row_idx, :] = jnp.where(keep, m, cur).reshape(LANES)
+    else:
+        pltpu.store(ref.at[0, row_idx, :], m.reshape(LANES), mask=keep.reshape(LANES))
+
+
 def _decode_kernel(
     clen_ref,  # SMEM (1, 1, 1) int32
     ulen_ref,  # SMEM (1, 1, 1) int32
-    cmd_ref,  # SMEM (1, 1, NC) int32: packed per-position parse
+    cmda_ref,  # SMEM (1, 1, NCP) int32
+    cmdb_ref,  # SMEM (1, 1, NCP) int32
     comp_ref,  # VMEM (1, NRC, LANES) int32: compressed bytes one-per-lane
     out_ref,  # VMEM (1, NRU, LANES) int32: output bytes one-per-lane
     meta_ref,  # SMEM (1, 1, 2) int32: [ok, produced]
-    buf_ref,  # VMEM scratch (NRC + NRU + 2, LANES) int32: [comp | out] bytes
-    rec_s_ref,  # SMEM scratch (NREC,) int32: src | (n-1) << 18
-    rec_o_ref,  # SMEM scratch (NREC,) int32: dst byte address
+    lit_ip_ref,  # SMEM scratch (CAP,) int32
+    lit_op_ref,  # SMEM scratch (CAP,) int32
+    cpy_ip_ref,  # SMEM scratch (CAP,) int32
+    cpy_op_ref,  # SMEM scratch (CAP,) int32
+    ovf_ref,  # SMEM scratch (CAP,) int32: >2-row literal overflow queue
+    hzq_ref,  # SMEM scratch (GROUP,) int32: per-group copy hazard queue
     *,
+    ncp: int,
     nrc: int,
     nru: int,
     interpret: bool,
-    debug_mode: int = 0,  # 0=full, 1=skip drain, 2=skip record emission too
+    debug_mode: int = 0,  # 0=full, 2=walk only, 3=walk+literals
 ):
     clen = clen_ref[0, 0, 0]
     ulen = ulen_ref[0, 0, 0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    ob = nrc * LANES  # output region base byte address in buf
+    sentinel = ncp - 1  # a past-the-stream position: parses as a valid no-op
     zero_row = jnp.zeros((1, LANES), jnp.int32)
 
-    # Prologue: comp bytes into the unified buffer's head rows.
-    def copy_in(i, _):
-        buf_ref[i, :] = comp_ref[0, i, :]
+    # Deterministic output (masked stores leave untouched lanes).
+    def zrow(i, _):
+        out_ref[0, i, :] = zero_row.reshape(LANES)
         return 0
 
-    jax.lax.fori_loop(0, nrc, copy_in, 0, unroll=False)
+    jax.lax.fori_loop(0, nru, zrow, 0, unroll=False)
 
-    # ---- phase 1: one tag -> validated row-aligned records ----------------
-    def emit_span(s, o, length, t):
-        """Split a move of `length` bytes (src byte s -> dst byte o, both
-        buf-absolute) into records whose dst lies within one row."""
+    # ---- generic row movers ------------------------------------------------
+    def make_m(src_ref, nrows, q0, d, ph, shift):
+        """The 128 bytes feeding one destination row: source rows q0, q0+1
+        rolled into destination phase. d = dst - src, ph = (-d) & 127."""
+        a = src_ref[0, jnp.clip(q0, 0, nrows - 1), :].reshape(1, LANES)
+        bb = src_ref[0, jnp.clip(q0 + 1, 0, nrows - 1), :].reshape(1, LANES)
+        return _roll(jnp.where(lane >= ph, a, bb), shift, interpret=interpret)
 
-        def body(st):
-            s_, o_, l_, t_ = st
-            n = jnp.minimum(l_, LANES - (o_ & 127))
-            rec_s_ref[t_] = s_ | ((n - 1) << 18)
-            rec_o_ref[t_] = o_
-            return s_ + n, o_ + n, l_ - n, t_ + 1
+    # ---- the walk ----------------------------------------------------------
+    def walk_chunk(ip, op, okw):
+        """Run CHUNK candidate tags from (ip, op); record (ip, op) per tag
+        into its class array. Returns (ip, op, okw, n_lit, n_cpy)."""
 
-        s, o, length, t = jax.lax.while_loop(lambda st: st[2] > 0, body, (s, o, length, t))
-        return t
+        def step(state):
+            ip, op, okw, tl, tc = state
+            v = cmda_ref[0, 0, ip]
+            lit_ip_ref[tl] = ip
+            lit_op_ref[tl] = op
+            cpy_ip_ref[tc] = ip
+            cpy_op_ref[tc] = op
+            length = v & A_LEN_BITS
+            lit = (v >> A_LIT_SHIFT) & 1
+            okw &= v
+            ip = ip + ((v >> A_CX_SHIFT) & 7) + lit * length
+            op = op + length
+            return ip, op, okw, tl + lit, tc + (1 - lit)
 
-    def tag_step(state):
-        ip, op, ok, t = state
-        a = cmd_ref[0, 0, ip]
-        is_copy = (a & 1) == 1
-        taglen = (a >> 1) & 7
-        lit_len = ((a >> 4) & 0xFFFF) + 1
-        poison = ((a >> 20) & 1) == 1
-        cp_len = ((a >> 4) & 63) + 1
-        f = (a >> 10) & F_SAT
+        def body(i, state):
+            for _ in range(WALK_UNROLL):
+                state = step(state)
+            return state
 
-        length = jnp.where(is_copy, cp_len, lit_len)
-        consumed = 1 + taglen + jnp.where(is_copy, 0, lit_len)
+        ip, op, okw, tl, tc = jax.lax.fori_loop(
+            0, CHUNK // WALK_UNROLL, body, (ip, op, okw, jnp.int32(0), jnp.int32(0))
+        )
+        # sentinels so drains may over-read a partial tail group
+        for j in range(GROUP):
+            lit_ip_ref[tl + j] = sentinel
+            lit_op_ref[tl + j] = 0
+            cpy_ip_ref[tc + j] = sentinel
+            cpy_op_ref[tc + j] = 0
+        return ip, op, okw, tl, tc
 
-        # Corruption checks (reference src/internal.jl:493-518).
-        ok_lit = (ip + consumed <= clen) & ~poison
-        ok_copy = (f > 0) & (f <= op) & (ip + 1 + taglen <= clen)
-        tag_ok = jnp.where(is_copy, ok_copy, ok_lit) & (op + length <= ulen)
-
-        src = jnp.where(is_copy, ob + op - f, ip + 1 + taglen)
-        o0 = ob + op
-        # Self-overlapping copy (f < length): first move f bytes, then
-        # chunk-double the materialized span (reference src/internal.jl:
-        # 469-509). Non-RLE tags take n0 = length and skip the loop.
-        rle = is_copy & (f < length) & tag_ok
-        n0 = jnp.where(rle, f, jnp.where(tag_ok, length, 0))
-        if debug_mode >= 2:
-            n0 = jnp.int32(0)
-            rle = jnp.bool_(False)
-        t = emit_span(src, o0, n0, t)
-
-        def dbl(st):
-            done, t_ = st
-            n = jnp.minimum(done, length - done)
-            t_ = emit_span(o0, o0 + done, n, t_)
-            return done + n, t_
-
-        done0 = jnp.where(rle, n0, length)
-        _, t = jax.lax.while_loop(lambda st: st[0] < length, dbl, (done0, t))
-
-        return ip + consumed, op + length, ok & tag_ok, t
-
-    # ---- phase 2: drain records into a register row-window ----------------
-    #
-    # Measured pathology (v5e): any loop whose body both stores to and
-    # loads from the row buffer serializes at ~90 cycles/record — the
-    # store->load round trip lands on the critical path every iteration.
-    # So the steady state of this loop NEVER stores: completed rows
-    # accumulate in a 16-row register window (`win`), and once >= 8 rows
-    # are pending they flush to VMEM in one 8-store burst per group —
-    # the store barrier amortizes over ~150 records.
-    #
-    # Source rows for a move therefore come from three places, selected
-    # branch-free per row: the in-flight accumulator (q == cur), the
-    # register window (q >= flush base), or VMEM (already flushed).
-    # Window slots are addressed (q - nrc) & 15, so the 8-row burst hits
-    # statically known slots (alternating halves).
-    sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-
-    def make_drain(nrows):
-        def source(q, acc, cur, fb, win):
-            vm = buf_ref[jnp.clip(q, 0, nrows - 1), :].reshape(1, LANES)
-            slot = (q - nrc) & 15
-            t8 = jnp.where(slot >= 8, win[8:16], win[0:8])
-            t4 = jnp.where((slot & 4) != 0, t8[4:8], t8[0:4])
-            t2 = jnp.where((slot & 2) != 0, t4[2:4], t4[0:2])
-            t1 = jnp.where((slot & 1) != 0, t2[1:2], t2[0:1])
-            row = jnp.where(q >= fb, t1, vm)
-            return jnp.where(q == cur, acc, row)
-
-        def one_rec(t, acc, cur, fb, win):
-            rs = rec_s_ref[t]
-            o = rec_o_ref[t]
-            s = rs & 0x3FFFF
-            n = ((rs >> 18) & 0x7F) + 1
-            r = o >> 7
-            adv = r != cur
-
-            # Retire the completed row into its window slot (branch-free).
-            ins = jnp.where(sub16 == ((cur - nrc) & 15), jnp.broadcast_to(acc, (16, LANES)), win)
-            win = jnp.where(adv, ins, win)
-            acc = jnp.where(adv, zero_row, acc)
-            cur = jnp.where(adv, r, cur)
-
-            d = o - s
+    # ---- literal drain -----------------------------------------------------
+    # Sources live in comp_ref, which is never stored to, so these moves
+    # pipeline at the measured ~7-cycle masked-store floor. The hot loop
+    # covers the first two destination rows; literals spanning more (0.1%
+    # of corpus records) queue their remaining rows for a cleanup loop so
+    # no dynamic inner loop pollutes the pipeline.
+    def drain_literals(tl, ovf_t_ref):
+        def one(t, nq):
+            ip = lit_ip_ref[t]
+            opv = lit_op_ref[t]
+            v = cmda_ref[0, 0, ip]
+            n = v & A_LEN_BITS
+            src = ip + ((v >> A_CX_SHIFT) & 7)  # comp byte address of the body
+            d = opv - src
             ph = (-d) & 127
             shift = (LANES - ph) & 127
-            qr = (r * LANES - d) >> 7
-            a_row = source(qr, acc, cur, fb, win)
-            b_row = source(qr + 1, acc, cur, fb, win)
-            m = _roll(jnp.where(lane >= ph, a_row, b_row), shift, interpret=interpret)
-            lo = o & 127
+            r = opv >> 7
+            lo = opv & 127
+            q0 = (r * LANES - d) >> 7
+            # branch-free: the second-row store has an empty mask when the
+            # span does not cross (a scalar branch here would serialize the
+            # whole pipelined loop)
+            m = make_m(comp_ref, nrc, q0, d, ph, shift)
             keep = (lane >= lo) & (lane < lo + n)
-            return jnp.where(keep, m, acc), cur, win
+            _masked_store(out_ref, jnp.clip(r, 0, nru - 1), m, keep, interpret=interpret)
+            m2 = make_m(comp_ref, nrc, q0 + 1, d, ph, shift)
+            k2 = lane < lo + n - LANES
+            _masked_store(out_ref, jnp.clip(r + 1, 0, nru - 1), m2, k2, interpret=interpret)
 
-        def one_rec_rmw(t):
-            """Accumulator-free record: read-modify-write the destination
-            row directly. buf is always current, so sources need no
-            special-casing; records chain only through genuine byte
-            dependencies, which the hardware resolves."""
-            rs = rec_s_ref[t]
-            o = rec_o_ref[t]
-            s = rs & 0x3FFFF
-            n = ((rs >> 18) & 0x7F) + 1
-            r = o >> 7
-            d = o - s
+            long = lo + n > 2 * LANES
+            ovf_t_ref[nq] = t
+            return nq + long.astype(jnp.int32)
+
+        def body(g, nq):
+            base = g * 4
+            for k in range(4):
+                nq = one(base + k, nq)
+            return nq
+
+        nq = jax.lax.fori_loop(0, pl.cdiv(tl, 4), body, jnp.int32(0), unroll=False)
+
+        def finish(j, _):
+            t = ovf_t_ref[j]
+            ip = lit_ip_ref[t]
+            opv = lit_op_ref[t]
+            v = cmda_ref[0, 0, ip]
+            n = v & A_LEN_BITS
+            src = ip + ((v >> A_CX_SHIFT) & 7)
+            d = opv - src
             ph = (-d) & 127
             shift = (LANES - ph) & 127
-            qr = (r * LANES - d) >> 7
-            a_row = buf_ref[jnp.clip(qr, 0, nrows - 1), :].reshape(1, LANES)
-            b_row = buf_ref[jnp.clip(qr + 1, 0, nrows - 1), :].reshape(1, LANES)
-            m = _roll(jnp.where(lane >= ph, a_row, b_row), shift, interpret=interpret)
-            lo = o & 127
-            keep = (lane >= lo) & (lane < lo + n)
-            curr = buf_ref[r, :].reshape(1, LANES)
-            buf_ref[r, :] = jnp.where(keep, m, curr).reshape(LANES)
+            r = opv >> 7
+            q0 = (r * LANES - d) >> 7
 
-        def drain_rmw(t_hi):
-            def group(g, _):
-                base = g * 4
-                for k in range(4):
-                    one_rec_rmw(jnp.minimum(base + k, t_hi - 1))
+            def row(q, _):
+                mq = make_m(comp_ref, nrc, q0 + (q - r), d, ph, shift)
+                gl = q * LANES + lane
+                kq = (gl >= opv) & (gl < opv + n)
+                _masked_store(out_ref, jnp.clip(q, 0, nru - 1), mq, kq, interpret=interpret)
                 return 0
 
-            jax.lax.fori_loop(0, pl.cdiv(t_hi, 4), group, 0)
+            jax.lax.fori_loop(r + 2, ((opv + n - 1) >> 7) + 1, row, 0, unroll=False)
+            return 0
 
-        def drain(t_hi, acc, cur, fb, win):
-            def group(g, carry):
-                acc, cur, fb, win = carry
-                base = g * 4
-                for k in range(4):
-                    acc, cur, win = one_rec(jnp.minimum(base + k, t_hi - 1), acc, cur, fb, win)
-                # Burst-flush the 8 oldest pending rows (static slots: fb
-                # stays nrc + a multiple of 8, so the octave alternates).
-                need = cur - fb >= 8
-                odd = ((fb - nrc) >> 3) & 1
+        jax.lax.fori_loop(0, nq, finish, 0, unroll=False)
 
-                @pl.when(need & (odd == 0))
-                def _():
-                    for i in range(8):
-                        buf_ref[fb + i, :] = win[i, :]
+    # ---- copy drain --------------------------------------------------------
+    def serial_move(src, dst, n):
+        """In-order sub-moves with growing step: correct for self-overlap
+        (RLE chunk doubling, reference src/internal.jl:469-509). Reads the
+        output ref directly; each iteration pays the ordering stall — used
+        only for hazardous records."""
 
-                @pl.when(need & (odd == 1))
-                def _():
-                    for i in range(8):
-                        buf_ref[fb + i, :] = win[8 + i, :]
+        def sub(state):
+            o, rem = state
+            step = jnp.minimum(jnp.minimum(o - src, rem), LANES)
+            d = o - src
+            ph = (-d) & 127
+            shift = (LANES - ph) & 127
+            r = o >> 7
+            lo = o & 127
+            q0 = (r * LANES - d) >> 7
+            m = make_m(out_ref, nru, q0, d, ph, shift)
+            keep = (lane >= lo) & (lane < lo + step)
+            _masked_store(out_ref, jnp.clip(r, 0, nru - 1), m, keep, interpret=interpret)
 
-                fb = jnp.where(need, fb + 8, fb)
-                return acc, cur, fb, win
+            @pl.when(lo + step > LANES)
+            def _():
+                m2 = make_m(out_ref, nru, q0 + 1, d, ph, shift)
+                k2 = lane < lo + step - LANES
+                _masked_store(out_ref, jnp.clip(r + 1, 0, nru - 1), m2, k2, interpret=interpret)
 
-            return jax.lax.fori_loop(0, pl.cdiv(t_hi, 4), group, (acc, cur, fb, win))
+            return o + step, rem - step
 
-        return drain, drain_rmw
+        jax.lax.while_loop(lambda s: s[1] > 0, sub, (dst, n))
 
-    drain, drain_rmw = make_drain(nrc + nru + 2)
+    def drain_copies(tc, okd, hzq_ref):
+        def fallback(j, _):
+            t = hzq_ref[j]
+            ip = cpy_ip_ref[t]
+            opv = cpy_op_ref[t]
+            wb = cmdb_ref[0, 0, ip]
+            f = wb & B_F_BITS
+            n = (wb >> B_N_SHIFT) & 0x7F
+            serial_move(opv - f, opv, n)
+            return 0
 
-    # ---- chunked outer loop: fill records, drain, repeat ------------------
+        def group(g, okd):
+            base = g * GROUP
+            lead_op = cpy_op_ref[base]
+            staged = []
+            nh = jnp.int32(0)
+            for k in range(GROUP):
+                t = base + k
+                ip = cpy_ip_ref[t]
+                opv = cpy_op_ref[t]
+                wb = cmdb_ref[0, 0, ip]
+                f = wb & B_F_BITS
+                n = (wb >> B_N_SHIFT) & 0x7F
+                src = opv - f
+                okd &= (src >= 0) | (n == 0)
+                # n bytes from [src, src+n): dst - src = f
+                ph = (-f) & 127
+                shift = (LANES - ph) & 127
+                r = opv >> 7
+                lo = opv & 127
+                q0 = (r * LANES - f) >> 7
+                # Hazard: source bytes not yet written when the group's
+                # loads ran — i.e. the span reaches at or past the group
+                # leader's output position (groupmates write [lead_op, .);
+                # for the leader itself this reduces to exactly the RLE
+                # self-overlap f < n). Byte-precise: sharing a ROW with a
+                # mate's store is harmless, kept lanes never use its bytes.
+                # Hazards queue branch-free and redo serially after the
+                # group's stores (in order, so chained hazards stay right).
+                hz = (src + n > lead_op) & (n > 0)
+                m = make_m(out_ref, nru, q0, f, ph, shift)
+                keep = (lane >= lo) & (lane < lo + n)
+                m2 = make_m(out_ref, nru, q0 + 1, f, ph, shift)
+                keep2 = lane < lo + n - LANES
+                staged.append((t, n, r, m, keep, m2, keep2, hz))
+            for t, n, r, m, keep, m2, keep2, hz in staged:
+                _masked_store(out_ref, jnp.clip(r, 0, nru - 1), m, keep, interpret=interpret)
+                _masked_store(out_ref, jnp.clip(r + 1, 0, nru - 1), m2, keep2, interpret=interpret)
+                hzq_ref[nh] = t
+                nh += hz.astype(jnp.int32)
+
+            @pl.when(nh > 0)
+            def _():
+                jax.lax.fori_loop(0, nh, fallback, 0, unroll=False)
+
+            return okd
+
+        return jax.lax.fori_loop(0, pl.cdiv(tc, GROUP), group, okd, unroll=False)
+
+    # ---- chunked outer loop ------------------------------------------------
     def chunk(state):
-        ip, op, ok, acc, cur, fb, win = state
-        ip, op, ok, t = jax.lax.while_loop(
-            lambda s: (s[0] < clen) & s[2] & (s[3] <= NREC - MARGIN),
-            tag_step,
-            (ip, op, ok, jnp.int32(0)),
-        )
-        if debug_mode == 9:
-            drain_rmw(t)
-        elif debug_mode == 0:
-            acc, cur, fb, win = drain(t, acc, cur, fb, win)
-        return ip, op, ok, acc, cur, fb, win
+        ip, op, ok = state
+        ip, op, okw, tl, tc = walk_chunk(ip, op, jnp.int32(-1))
+        ok &= (okw >> A_VALID_SHIFT) & 1 > 0
+        if debug_mode != 2:
+            drain_literals(tl, ovf_ref)
+        if debug_mode == 0:
+            ok = drain_copies(tc, ok, hzq_ref)
+        return ip, op, ok
 
-    ip, op, ok, acc, cur, fb, win = jax.lax.while_loop(
-        lambda s: (s[0] < clen) & s[2],
+    ip, op, ok = jax.lax.while_loop(
+        lambda s: (s[0] < clen) & s[2] & (s[1] <= ulen),
         chunk,
-        (
-            jnp.int32(0),
-            jnp.int32(0),
-            jnp.bool_(True),
-            zero_row,
-            jnp.int32(nrc),
-            jnp.int32(nrc),
-            jnp.zeros((16, LANES), jnp.int32),
-        ),
+        (jnp.int32(0), jnp.int32(0), jnp.bool_(True)),
     )
-    if debug_mode != 9:
-        # Final flush: pending window rows [fb, cur), then the in-flight
-        # row. (The RMW drain keeps buf current; nothing to flush.)
-        for i in range(16):
-            q = fb + i
-            slot = (q - nrc) & 15
-            t8 = jnp.where(slot >= 8, win[8:16], win[0:8])
-            t4 = jnp.where((slot & 4) != 0, t8[4:8], t8[0:4])
-            t2 = jnp.where((slot & 2) != 0, t4[2:4], t4[0:2])
-            t1 = jnp.where((slot & 1) != 0, t2[1:2], t2[0:1])
-
-            @pl.when(q < cur)
-            def _(q=q, t1=t1):
-                buf_ref[q, :] = t1.reshape(LANES)
-
-        buf_ref[cur, :] = acc.reshape(LANES)
-
-    # Epilogue: output region of the unified buffer -> out block.
-    def copy_out(i, _):
-        out_ref[0, i, :] = buf_ref[nrc + i, :]
-        return 0
-
-    jax.lax.fori_loop(0, nru, copy_out, 0, unroll=False)
 
     meta_ref[0, 0, 0] = (ok & (op == ulen)).astype(jnp.int32)
     meta_ref[0, 0, 1] = op
@@ -387,29 +447,49 @@ def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0
     if out_size % LANES:
         raise ValueError(f"out_size must be a multiple of {LANES}")
     cmax_padded = max(cmax_padded, COMP_PAD + 1)  # degenerate empty streams
+    ncp = -(-cmax_padded // LANES) * LANES  # word- and lane-aligned
     nru = out_size // LANES
-    # One spare row so phase 2's second source-row read stays in bounds.
-    nrc = -(-cmax_padded // LANES) + 1
-    nc = cmax_padded - COMP_PAD
+    # One spare zero row so second source-row reads stay in bounds.
+    nrc = ncp // LANES + 1
 
     kernel = functools.partial(
-        _decode_kernel, nrc=nrc, nru=nru, interpret=interpret, debug_mode=debug_mode
+        _decode_kernel,
+        ncp=ncp,
+        nrc=nrc,
+        nru=nru,
+        interpret=interpret,
+        debug_mode=debug_mode,
     )
 
     def fn(comp_u8: jnp.ndarray, clens: jnp.ndarray, ulens: jnp.ndarray):
         b = comp_u8.shape[0]
-        if comp_u8.shape[1] < cmax_padded:
-            comp_u8 = jnp.pad(comp_u8, ((0, 0), (0, cmax_padded - comp_u8.shape[1])))
-        cmd = parse_cmd(comp_u8).reshape(b, 1, nc)
-        pad = nrc * LANES - comp_u8.shape[1]
-        comp_i32 = jnp.pad(comp_u8, ((0, 0), (0, pad))).astype(jnp.int32).reshape(b, nrc, LANES)
+        if comp_u8.shape[1] < ncp:
+            comp_u8 = jnp.pad(comp_u8, ((0, 0), (0, ncp - comp_u8.shape[1])))
+        comp_u8 = comp_u8[:, :ncp]
+        cmda, cmdb = parse_cmds(comp_u8, clens)
+        comp_i32 = comp_u8.astype(jnp.int32).reshape(b, nrc - 1, LANES)
+        comp_i32 = jnp.pad(comp_i32, ((0, 0), (0, 1), (0, 0)))
         out_rows, meta = pl.pallas_call(
             kernel,
             grid=(b,),
             in_specs=[
                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+                # single-buffered: two double-buffered 258 KiB windows would
+                # blow the 1 MiB SMEM; the lost DMA overlap is negligible
+                # next to the per-block walk/drain time.
+                pl.BlockSpec(
+                    (1, 1, ncp),
+                    lambda i: (i, 0, 0),
+                    memory_space=pltpu.SMEM,
+                    pipeline_mode=pl.Buffered(buffer_count=1),
+                ),
+                pl.BlockSpec(
+                    (1, 1, ncp),
+                    lambda i: (i, 0, 0),
+                    memory_space=pltpu.SMEM,
+                    pipeline_mode=pl.Buffered(buffer_count=1),
+                ),
                 pl.BlockSpec((1, nrc, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
@@ -421,12 +501,21 @@ def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0
                 jax.ShapeDtypeStruct((b, 1, 2), jnp.int32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((nrc + nru + 2, LANES), jnp.int32),
-                pltpu.SMEM((NREC,), jnp.int32),
-                pltpu.SMEM((NREC,), jnp.int32),
+                pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
+                pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
+                pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
+                pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
+                pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
+                pltpu.SMEM((GROUP,), jnp.int32),
             ],
             interpret=interpret,
-        )(clens.reshape(b, 1, 1), ulens.reshape(b, 1, 1), cmd, comp_i32)
+        )(
+            clens.reshape(b, 1, 1).astype(jnp.int32),
+            ulens.reshape(b, 1, 1).astype(jnp.int32),
+            cmda.reshape(b, 1, ncp),
+            cmdb.reshape(b, 1, ncp),
+            comp_i32,
+        )
         out = out_rows.reshape(b, out_size).astype(jnp.uint8)
         meta = meta.reshape(b, 2)
         return out, meta[:, 0] > 0, meta[:, 1]
