@@ -5,8 +5,17 @@ Prints ONE JSON line for the driver:
 
 Headline: device decompress throughput (GB/s of uncompressed bytes per
 chip) on a corpus-derived stream, vs the reference's published large-stream
-uncompress rate (247 MB/s, reference README.md:45 / BASELINE.md). A fuller
-report (encode, ratios) is written to benchmarks/report_last.json.
+uncompress rate (247 MB/s, reference README.md:45 / BASELINE.md). Like the
+reference benchmark (reference test/benchmarks.jl:27-69), decode times the
+codec's OWN compressed output — here the Pallas device encoder — and that
+output is gated before timing:
+  1. device round-trip must be bit-exact and flag ok,
+  2. REAL libsnappy (ctypes, snappy_tpu/native/libsnappy.py) must decode
+     sampled streams bit-exact (wire compatibility with the genuine
+     article, reference test/libsnappy.jl:5-30),
+  3. total device compressed size must beat real libsnappy's.
+A second decode stage times foreign streams (native host encoder) for the
+wire-parity number. Full results land in benchmarks/report_last.json.
 
 Timing notes (hard-won on the tunnelled TPU): `block_until_ready` does not
 fence device work here and host<->device transfers run ~40MB/s, so each
@@ -37,12 +46,15 @@ except Exception:
 
 import jax.numpy as jnp
 
+from snappy_tpu.core import varint
 from snappy_tpu.core.constants import BLOCK_SIZE
 from snappy_tpu.ops import decode_xla, encode_xla, pallas_decode
 from snappy_tpu.utils.metrics import Metrics
 
 # Reference baseline: Snappy.jl uncompress on the 644MB stream (README.md:45).
 BASELINE_DECODE_GBPS = 0.247
+# v5e HBM bandwidth, for the roofline fraction (BASELINE.md:31).
+HBM_GBPS = 820.0
 BATCH = 128  # blocks per dispatch (8 MiB uncompressed): compute >> fence cost
 
 
@@ -86,6 +98,39 @@ def time_dispatch(fn, args, iters: int = 5) -> float:
     return max(min(times), 1e-9)
 
 
+def pack_streams(streams, pad: int):
+    cmax = -(-(max(len(s) for s in streams) + pad) // 512) * 512
+    comp_np = np.zeros((len(streams), cmax), np.uint8)
+    for i, s in enumerate(streams):
+        comp_np[i, : len(s)] = np.frombuffer(s, np.uint8) if isinstance(s, bytes) else s
+    clens = np.array([len(s) for s in streams], np.int32)
+    return cmax, comp_np, clens
+
+
+def time_decode(streams, raw: bytes, on_tpu: bool, label: str, metrics) -> float:
+    """Gate bit-exactness, then time the device decode of ``streams``."""
+    cmax, comp_np, clens_np = pack_streams(streams, pallas_decode.COMP_PAD)
+    dec = (pallas_decode if on_tpu else decode_xla).decode_blocks_jit(cmax, BLOCK_SIZE)
+    dcomp = jax.device_put(comp_np)
+    dclens = jax.device_put(clens_np)
+    dulens = jax.device_put(np.full(len(streams), BLOCK_SIZE, np.int32))
+
+    out, ok, _ = dec(dcomp, dclens, dulens)
+    assert bool(np.asarray(ok).all()), f"bench decode flagged corrupt ({label})"
+    assert np.asarray(out).tobytes() == raw[: len(streams) * BLOCK_SIZE], f"decode mismatch ({label})"
+
+    t = time_dispatch(dec, (dcomp, dclens, dulens))
+    gbps = len(streams) * BLOCK_SIZE / t / 1e9
+    metrics.add(
+        stage=f"decode_{label}",
+        gbps_per_chip=gbps,
+        seconds_per_batch=t,
+        hbm_roofline_frac=gbps * 1.5 / HBM_GBPS,  # ~1.5B HBM traffic per output byte
+        kernel="pallas" if on_tpu else "xla",
+    )
+    return gbps
+
+
 def main() -> None:
     metrics = Metrics()
     dev = jax.devices()[0]
@@ -98,44 +143,69 @@ def main() -> None:
     n_blocks = len(raw) // BLOCK_SIZE
     assert n_blocks >= BATCH, "BENCH_BYTES too small for one batch"
 
-    # ---- block streams from the native host codec (single source of truth
-    # for the decode bench; device-encode timing is a separate stage).
-    from snappy_tpu.cpu import oracle
-    from snappy_tpu.native import runtime as nat
+    # ---- real-libsnappy baseline sizes (the genuine article, not our C++).
+    from snappy_tpu.native import libsnappy as ls
 
-    host_enc = nat.compress if nat.available() else oracle.compress
+    ls_total = None
+    if ls.available():
+        ls_total = sum(
+            len(ls.compress(raw[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE])) - len(varint.encode32(BLOCK_SIZE))
+            for i in range(BATCH)
+        )
+        metrics.add(stage="ratio_libsnappy", compressed_ratio=ls_total / (BATCH * BLOCK_SIZE))
 
-    streams = []
-    for i in range(BATCH):
-        s = host_enc(raw[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE])
-        _, hdr = oracle.uncompressed_length(np.frombuffer(s, np.uint8))
-        streams.append(s[hdr:])
-    ratio = sum(len(s) for s in streams) / (BATCH * BLOCK_SIZE)
-    metrics.add(stage="ratio_native", compressed_ratio=ratio)
-
-    cmax = -(-(max(len(s) for s in streams) + pallas_decode.COMP_PAD) // 512) * 512
-    comp_np = np.zeros((BATCH, cmax), np.uint8)
-    for i, s in enumerate(streams):
-        comp_np[i, : len(s)] = np.frombuffer(s, np.uint8)
-    clens_np = np.array([len(s) for s in streams], np.int32)
-
-    # ---- decode throughput: Pallas sequential-tag kernel on TPU.
+    # ---- device encode: the framework's own compressed stream.
+    enc_streams = None
+    enc_t = None
     if on_tpu:
-        dec = pallas_decode.decode_blocks_jit(cmax, BLOCK_SIZE)
-    else:
-        dec = decode_xla.decode_blocks_jit(cmax, BLOCK_SIZE)
-    dcomp = jax.device_put(comp_np)
-    dclens = jax.device_put(clens_np)
-    dulens = jax.device_put(np.full(BATCH, BLOCK_SIZE, np.int32))
+        from snappy_tpu.core.config import DEFAULT_MIN_PROFIT
+        from snappy_tpu.ops import pallas_encode
 
-    # correctness gate on the timed path
-    out, ok, _ = dec(dcomp, dclens, dulens)
-    assert bool(np.asarray(ok).all()), "bench decode failed"
-    assert np.asarray(out).tobytes() == raw[: BATCH * BLOCK_SIZE], "bench decode mismatch"
+        enc = pallas_encode.encode_blocks_jit(BLOCK_SIZE, False, DEFAULT_MIN_PROFIT)
+        buf0 = np.zeros((BATCH, BLOCK_SIZE + pallas_encode.ENC_PAD), np.uint8)
+        for b in range(BATCH):
+            buf0[b, :BLOCK_SIZE] = inp[b * BLOCK_SIZE : (b + 1) * BLOCK_SIZE]
+        dbuf0 = jax.device_put(buf0)
+        dlens0 = jax.device_put(np.full(BATCH, BLOCK_SIZE, np.int32))
+        out, olens = enc(dbuf0, dlens0)
+        out = np.asarray(out)
+        olens = np.asarray(olens)
+        enc_streams = [out[i, : olens[i]].tobytes() for i in range(BATCH)]
+        dev_total = int(olens.sum())
+        metrics.add(stage="ratio_device", compressed_ratio=dev_total / (BATCH * BLOCK_SIZE))
 
-    t_dec = time_dispatch(dec, (dcomp, dclens, dulens))
-    dec_gbps = BATCH * BLOCK_SIZE / t_dec / 1e9
-    metrics.add(stage="decode", gbps_per_chip=dec_gbps, seconds_per_batch=t_dec, kernel="pallas" if on_tpu else "xla")
+        # gate: wire compatibility under REAL libsnappy on sampled blocks
+        if ls.available():
+            for i in range(0, BATCH, 8):
+                stream = varint.encode32(BLOCK_SIZE) + enc_streams[i]
+                assert ls.uncompress(stream) == raw[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE], (
+                    f"device-encoded block {i} not decodable by real libsnappy"
+                )
+            # gate: density beats the genuine article
+            assert dev_total <= ls_total, f"device ratio {dev_total} > libsnappy {ls_total}"
+
+        enc_t = time_dispatch(enc, (dbuf0, dlens0), iters=3)
+        metrics.add(
+            stage="encode",
+            gbps_per_chip=BATCH * BLOCK_SIZE / enc_t / 1e9,
+            seconds_per_batch=enc_t,
+            kernel="pallas",
+        )
+
+    # ---- headline: decode the framework's own streams (falls back to the
+    # native host encoder's streams off-TPU, where there is no device encode).
+    if enc_streams is None:
+        from snappy_tpu.cpu import oracle
+        from snappy_tpu.native import runtime as nat
+
+        host_enc = nat.compress if nat.available() else oracle.compress
+        enc_streams = []
+        for i in range(BATCH):
+            s = host_enc(raw[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE])
+            _, hdr = oracle.uncompressed_length(np.frombuffer(s, np.uint8))
+            enc_streams.append(s[hdr:])
+
+    dec_gbps = time_decode(enc_streams, raw, on_tpu, "own", metrics)
 
     print(
         json.dumps(
@@ -149,30 +219,19 @@ def main() -> None:
         flush=True,
     )
 
-    # ---- device-encode stage (after the headline print so a slow compile
-    # can never cost the decode number).
-    if os.environ.get("BENCH_ENCODE", "1") != "0":
-        try:
-            from snappy_tpu.ops import pallas_encode
+    # ---- secondary: decode of FOREIGN streams (native host greedy encoder),
+    # the wire-parity number for arbitrary snappy input.
+    if os.environ.get("BENCH_FOREIGN", "1") != "0":
+        from snappy_tpu.cpu import oracle
+        from snappy_tpu.native import runtime as nat
 
-            enc_blocks = pallas_encode.encode_blocks_jit(BLOCK_SIZE)
-            enc_pad = pallas_encode.ENC_PAD
-            kernel = "pallas"
-        except Exception:
-            enc_blocks = encode_xla.encode_blocks_jit(BATCH)
-            enc_pad = encode_xla.ENC_PAD
-            kernel = "xla"
-        buf0 = np.zeros((BATCH, BLOCK_SIZE + enc_pad), np.uint8)
-        for b in range(BATCH):
-            buf0[b, :BLOCK_SIZE] = inp[b * BLOCK_SIZE : (b + 1) * BLOCK_SIZE]
-        dbuf0 = jax.device_put(buf0)
-        dlens0 = jax.device_put(np.full(BATCH, BLOCK_SIZE, np.int32))
-        t_enc = time_dispatch(enc_blocks, (dbuf0, dlens0), iters=3)
-        enc_gbps = BATCH * BLOCK_SIZE / t_enc / 1e9
-        metrics.add(stage="encode", gbps_per_chip=enc_gbps, seconds_per_batch=t_enc, kernel=kernel)
-        out, olens = enc_blocks(dbuf0, dlens0)[:2]
-        dev_ratio = float(np.asarray(olens).sum()) / (BATCH * BLOCK_SIZE)
-        metrics.add(stage="ratio_device", compressed_ratio=dev_ratio)
+        host_enc = nat.compress if nat.available() else oracle.compress
+        foreign = []
+        for i in range(BATCH):
+            s = host_enc(raw[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE])
+            _, hdr = oracle.uncompressed_length(np.frombuffer(s, np.uint8))
+            foreign.append(s[hdr:])
+        time_decode(foreign, raw, on_tpu, "foreign", metrics)
 
     os.makedirs(os.path.join(REPO, "benchmarks"), exist_ok=True)
     metrics.dump(os.path.join(REPO, "benchmarks", "report_last.json"))

@@ -73,7 +73,7 @@ F_SAT = 0x1FFFF
 # chunk plus the 8 no-op sentinel records appended for drain over-read.
 CHUNK = 1024
 WALK_UNROLL = 8
-GROUP = 8  # copy-drain batch width
+GROUP = 16  # copy-drain batch width
 
 # cmdA bit layout (per byte position)
 A_LEN_BITS = 0x1FFFF  # bits 0-16: output length (0 for pad/invalid)

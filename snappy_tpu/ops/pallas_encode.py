@@ -116,6 +116,7 @@ def _encode_kernel(
     nri: int,
     nro: int,
     interpret: bool,
+    min_profit: int = 1,
 ):
     blen = blen_ref[0, 0, 0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -279,7 +280,10 @@ def _encode_kernel(
                 op3 = emit_copy(op2, d, m)
                 return ip + m, ip + m, op3
 
-            return jax.lax.cond(prof >= 1, take, lambda _: (ip + 1, anchor, op), 0)
+            # min_profit > 1 thins the parse: marginal short copies cost a
+            # decoder tag for 1-2 saved bytes; skipping them trades a little
+            # density for decode throughput (the TPU decoder is tag-bound).
+            return jax.lax.cond(prof >= min_profit, take, lambda _: (ip + 1, anchor, op), 0)
 
         return jax.lax.cond(cd != 0, with_cand, no_match, 0)
 
@@ -294,7 +298,7 @@ def _encode_kernel(
     meta_ref[0, 0, 0] = op
 
 
-def _build(block_size: int, interpret: bool):
+def _build(block_size: int, interpret: bool, min_profit: int = 1):
     if block_size % LANES:
         raise ValueError(f"block_size must be a multiple of {LANES}")
     n = block_size
@@ -302,7 +306,9 @@ def _build(block_size: int, interpret: bool):
     nro = -(-BLOCK_MAX_OUT // LANES) + 1
     nw = (n + ENC_PAD) // 4
 
-    kernel = functools.partial(_encode_kernel, nri=nri, nro=nro, interpret=interpret)
+    kernel = functools.partial(
+        _encode_kernel, nri=nri, nro=nro, interpret=interpret, min_profit=min_profit
+    )
 
     def fn(blocks_u8: jnp.ndarray, blens: jnp.ndarray):
         b = blocks_u8.shape[0]
@@ -339,11 +345,13 @@ def _build(block_size: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=8)
-def encode_blocks_jit(block_size: int = BLOCK_SIZE, interpret: bool = False):
+def encode_blocks_jit(block_size: int = BLOCK_SIZE, interpret: bool = False, min_profit: int = 1):
     """jit-compiled Pallas block encoder.
 
     (uint8[B, block_size + ENC_PAD], int32[B] lengths) ->
     (uint8[B, BLOCK_MAX_OUT] tag streams, int32[B] emitted lengths).
-    Output contract matches encode_xla.encode_blocks_jit.
+    Output contract matches encode_xla.encode_blocks_jit. ``min_profit``
+    sets the greedy take threshold (1 = densest, reference-equivalent;
+    higher values thin tags for decode speed at a small density cost).
     """
-    return jax.jit(_build(block_size, interpret))
+    return jax.jit(_build(block_size, interpret, min_profit))
