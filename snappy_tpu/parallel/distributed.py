@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import decode_xla, encode_xla
+from ..ops import select
 
 AXIS = "blocks"
 
@@ -53,7 +53,11 @@ def _sharded_encode(mesh: Mesh, gather: bool):
     """
 
     def local(blocks, blens):
-        out, olens = jax.vmap(encode_xla.encode_block)(blocks, blens)
+        # Same platform-based kernel selection as the single-host driver
+        # (Pallas on TPU, XLA elsewhere); pallas_call composes with
+        # shard_map, so each chip runs the fast kernel on its local blocks.
+        enc = select.block_encoder(blocks.shape[0], blocks.shape[1] - select.encode_xla.ENC_PAD)
+        out, olens = enc(blocks, blens)
         if gather:
             out = jax.lax.all_gather(out, AXIS, tiled=True)
             olens = jax.lax.all_gather(olens, AXIS, tiled=True)
@@ -61,15 +65,18 @@ def _sharded_encode(mesh: Mesh, gather: bool):
 
     spec_in = P(AXIS)
     spec_out = P() if gather else P(AXIS)
+    # check_vma=False: pallas_call outputs carry no vma annotation, and the
+    # all_gather outputs are replicated in fact, not by vma inference.
     fn = jax.shard_map(local, mesh=mesh, in_specs=(spec_in, spec_in), out_specs=(spec_out, spec_out),
-                   check_vma=not gather)  # all_gather output is replicated in fact, not by vma inference
+                   check_vma=False)
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=16)
 def _sharded_decode(mesh: Mesh, out_size: int, gather: bool):
     def local(comp, clens, ulens):
-        out, ok, total = decode_xla.decode_blocks(comp, clens, ulens, out_size)
+        dec = select.block_decoder(comp.shape[1], out_size)
+        out, ok, total = dec(comp, clens, ulens)
         if gather:
             out = jax.lax.all_gather(out, AXIS, tiled=True)
             ok = jax.lax.all_gather(ok, AXIS, tiled=True)
@@ -80,7 +87,7 @@ def _sharded_decode(mesh: Mesh, out_size: int, gather: bool):
     spec_out = P() if gather else P(AXIS)
     fn = jax.shard_map(
         local, mesh=mesh, in_specs=(spec_in, spec_in, spec_in), out_specs=(spec_out, spec_out, spec_out),
-        check_vma=not gather,  # all_gather output is replicated in fact, not by vma inference
+        check_vma=False,  # see _sharded_encode
     )
     return jax.jit(fn)
 

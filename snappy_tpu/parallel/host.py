@@ -14,42 +14,9 @@ import jax.numpy as jnp
 
 from ..core.config import DEFAULT_FRAME_CONFIG, FrameConfig
 from ..core.errors import CorruptInputError
-from ..ops import decode_xla, encode_xla, pallas_decode, pallas_encode
+from ..ops import decode_xla, encode_xla
+from ..ops.select import block_decoder, block_encoder  # noqa: F401  (re-export)
 from . import distributed, framed
-
-
-def _on_tpu() -> bool:
-    try:
-        import jax
-
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
-
-
-def block_decoder(cmax_padded: int, out_size: int):
-    """Best single-host block decoder for the current platform.
-
-    On a real TPU the Pallas sequential-tag kernel is ~50x the XLA
-    data-parallel decoder (gathers run at scalar rate there); everywhere
-    else (CPU tests, interpret) the XLA decoder wins.
-    """
-    if _on_tpu() and out_size % pallas_decode.LANES == 0:
-        return pallas_decode.decode_blocks_jit(cmax_padded, out_size)
-    return decode_xla.decode_blocks_jit(cmax_padded, out_size)
-
-
-def block_encoder(n_blocks: int, block_size: int):
-    """Best single-host block encoder for the current platform (see
-    block_decoder; the Pallas greedy-parse kernel is ~250x the XLA
-    sort-based encoder on TPU and compresses ~10% denser than libsnappy)."""
-    if (
-        _on_tpu()
-        and block_size % pallas_encode.LANES == 0
-        and block_size <= pallas_encode.BLOCK_SIZE
-    ):
-        return pallas_encode.encode_blocks_jit(block_size)
-    return encode_xla.encode_blocks_jit(n_blocks)
 
 
 def _bucket(n: int, floor: int = 1) -> int:
