@@ -233,6 +233,43 @@ def main() -> None:
             foreign.append(s[hdr:])
         time_decode(foreign, raw, on_tpu, "foreign", metrics)
 
+    # ---- streaming pipeline stage (the reference's 644 MB "large" config,
+    # reference README.md:45): frames through parallel/streaming.py with
+    # read/compute/write overlap. Default 64 MiB per driver run; set
+    # BENCH_STREAM_BYTES=676000000 for the full large-config run.
+    stream_cfg = int(os.environ.get("BENCH_STREAM_BYTES", 64 << 20))
+    if stream_cfg > 0:
+        import io
+
+        from snappy_tpu.parallel import streaming
+
+        sraw = corpus_stream(stream_cfg)
+        src = io.BytesIO(sraw)
+        comp_buf = io.BytesIO()
+        # warm the kernels (first frame compiles)
+        streaming.compress_stream(io.BytesIO(sraw[: 4 << 20]), io.BytesIO(), blocks_per_frame=BATCH)
+        t0 = time.perf_counter()
+        csize = streaming.compress_stream(src, comp_buf, blocks_per_frame=BATCH)
+        t_c = time.perf_counter() - t0
+        comp_buf.seek(0)
+        out_buf = io.BytesIO()
+        streaming.uncompress_stream(io.BytesIO(comp_buf.getvalue()[: 1 << 20]), io.BytesIO())
+        comp_buf.seek(0)
+        t0 = time.perf_counter()
+        n = streaming.uncompress_stream(comp_buf, out_buf)
+        t_u = time.perf_counter() - t0
+        assert n == len(sraw) and out_buf.getvalue() == sraw, "streaming round-trip mismatch"
+        metrics.add(
+            stage="stream_large",
+            bytes=len(sraw),
+            ratio=csize / len(sraw),
+            compress_gbps=len(sraw) / t_c / 1e9,
+            uncompress_gbps=len(sraw) / t_u / 1e9,
+            uncompress_roofline_frac=(len(sraw) / t_u / 1e9) * 1.5 / HBM_GBPS,
+            blocks_per_frame=BATCH,
+            retries=streaming.last_stats.get("retries", 0),
+        )
+
     os.makedirs(os.path.join(REPO, "benchmarks"), exist_ok=True)
     metrics.dump(os.path.join(REPO, "benchmarks", "report_last.json"))
 

@@ -1,9 +1,16 @@
 """Per-file corpus benchmark replicating the reference's README table
 (reference test/benchmarks.jl:10-102, README.md:28-47): compress and
-uncompress throughput per corpus file, device path vs native baseline,
-plus compressed-size ratios.
+uncompress throughput per corpus file, device path vs native C++ vs real
+libsnappy ratios.
 
-    python benchmarks/run_corpus.py [--device] [--files N]
+Device timing note: single small files are fence-dominated on the
+tunnelled TPU, so each file is tiled into a BATCH of 64 KiB blocks (>=4
+MiB per dispatch) and timed the same way bench.py times the headline —
+one large dispatch, fence cost calibrated out. The device decode times
+the device encoder's own streams (gated bit-exact first), like the
+reference times its own compress output.
+
+    python benchmarks/run_corpus.py [--md benchmarks/CORPUS.md]
 """
 
 from __future__ import annotations
@@ -18,6 +25,15 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from snappy_tpu.core import varint
+from snappy_tpu.core.constants import BLOCK_SIZE
+from bench import time_dispatch, pack_streams
+
 FILES = [
     ("txt", "alice29.txt"),
     ("html", "html"),
@@ -26,6 +42,7 @@ FILES = [
     ("urls", "urls.10K"),
     ("json", "sample-tweet.json"),
 ]
+BATCH = 64
 
 
 def human(bps: float) -> str:
@@ -42,13 +59,29 @@ def median_time(fn, iters: int = 9) -> float:
     return times[len(times) // 2]
 
 
+def tile_blocks(raw: bytes, batch: int) -> np.ndarray:
+    buf = raw
+    while len(buf) < batch * BLOCK_SIZE:
+        buf += raw
+    return np.frombuffer(buf[: batch * BLOCK_SIZE], np.uint8).reshape(batch, BLOCK_SIZE)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--device", action="store_true", help="also time the XLA device path")
     ap.add_argument("--iters", type=int, default=9)
+    ap.add_argument("--md", default=None, help="write a markdown table to this path")
     args = ap.parse_args()
 
     from snappy_tpu.native import runtime as nat
+    from snappy_tpu.native import libsnappy as ls
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    dec = enc = None
+    if on_tpu:
+        from snappy_tpu.core.config import DEFAULT_MIN_PROFIT
+        from snappy_tpu.ops import pallas_decode, pallas_encode
+
+        enc = pallas_encode.encode_blocks_jit(BLOCK_SIZE, False, DEFAULT_MIN_PROFIT)
 
     rows = []
     for label, name in FILES:
@@ -60,32 +93,72 @@ def main() -> None:
         row = {
             "file": label,
             "size": len(raw),
-            "ratio": len(comp) / len(raw),
+            "ratio_native": len(comp) / len(raw),
             "native_compress": len(raw) / t_c,
             "native_uncompress": len(raw) / t_u,
         }
-        if args.device:
-            from snappy_tpu.ops import host as xh
+        if ls.available():
+            row["ratio_libsnappy"] = sum(
+                len(ls.compress(bytes(b))) - len(varint.encode32(BLOCK_SIZE))
+                for b in tile_blocks(raw, 16)
+            ) / (16 * BLOCK_SIZE)
+        if on_tpu:
+            from snappy_tpu.ops import pallas_decode, pallas_encode
 
-            dcomp = xh.compress(raw)
-            xh.uncompress(dcomp)  # warm/compile
-            row["xla_ratio"] = len(dcomp) / len(raw)
-            row["xla_compress"] = len(raw) / median_time(lambda: xh.compress(raw), args.iters)
-            row["xla_uncompress"] = len(raw) / median_time(lambda: xh.uncompress(dcomp), args.iters)
+            blocks = tile_blocks(raw, BATCH)
+            buf = np.zeros((BATCH, BLOCK_SIZE + pallas_encode.ENC_PAD), np.uint8)
+            buf[:, :BLOCK_SIZE] = blocks
+            dbuf = jax.device_put(buf)
+            dlens = jax.device_put(np.full(BATCH, BLOCK_SIZE, np.int32))
+            out, olens = enc(dbuf, dlens)
+            out_np, olens_np = np.asarray(out), np.asarray(olens)
+            streams = [out_np[i, : olens_np[i]].tobytes() for i in range(BATCH)]
+            row["ratio_device"] = olens_np.sum() / (BATCH * BLOCK_SIZE)
+            cmax, comp_np, clens_np = pack_streams(streams, pallas_decode.COMP_PAD)
+            d = pallas_decode.decode_blocks_jit(cmax, BLOCK_SIZE)
+            dc, dl = jax.device_put(comp_np), jax.device_put(clens_np)
+            du = jax.device_put(np.full(BATCH, BLOCK_SIZE, np.int32))
+            o, ok, _ = d(dc, dl, du)
+            assert bool(np.asarray(ok).all()), f"{name}: device decode flagged corrupt"
+            assert np.asarray(o).tobytes() == blocks.tobytes(), f"{name}: decode mismatch"
+            row["dev_compress"] = BATCH * BLOCK_SIZE / time_dispatch(enc, (dbuf, dlens), iters=3)
+            row["dev_uncompress"] = BATCH * BLOCK_SIZE / time_dispatch(d, (dc, dl, du), iters=3)
         rows.append(row)
+        print(f"{label}: {row}", flush=True)
 
-    hdr = f"| {'file':6s} | {'size':>7s} | {'ratio':>6s} | {'native comp':>11s} | {'native unc':>11s} |"
-    if args.device:
-        hdr += f" {'xla ratio':>9s} | {'xla comp':>11s} | {'xla unc':>11s} |"
-    print(hdr)
+    lines = []
+    has_dev = any("dev_compress" in r for r in rows)
+    hdr = "| file | size | ratio (dev) | ratio (libsnappy) | dev compress | dev uncompress | native C++ comp | native C++ unc |"
+    sep = "|---|---|---|---|---|---|---|---|"
+    lines.append(hdr)
+    lines.append(sep)
     for r in rows:
-        line = (
-            f"| {r['file']:6s} | {r['size']:7d} | {r['ratio']:6.3f} "
-            f"| {human(r['native_compress']):>11s} | {human(r['native_uncompress']):>11s} |"
+        lines.append(
+            "| {file} | {size} | {rd} | {rl} | {dc} | {du} | {nc} | {nu} |".format(
+                file=r["file"],
+                size=r["size"],
+                rd=f"{r.get('ratio_device', float('nan')):.3f}" if has_dev else "-",
+                rl=f"{r.get('ratio_libsnappy', float('nan')):.3f}",
+                dc=human(r["dev_compress"]) if "dev_compress" in r else "-",
+                du=human(r["dev_uncompress"]) if "dev_uncompress" in r else "-",
+                nc=human(r["native_compress"]),
+                nu=human(r["native_uncompress"]),
+            )
         )
-        if args.device:
-            line += f" {r['xla_ratio']:9.3f} | {human(r['xla_compress']):>11s} | {human(r['xla_uncompress']):>11s} |"
-        print(line)
+    table = "\n".join(lines)
+    print(table)
+    if args.md:
+        dev = jax.devices()[0]
+        with open(args.md, "w") as f:
+            f.write(
+                "# Per-file corpus benchmark\n\n"
+                f"Device: {dev} ({dev.platform}); {BATCH} tiled 64 KiB blocks per "
+                "dispatch; device decode times the device encoder's own gated "
+                "streams (like the reference, test/benchmarks.jl:27-69). Ratios "
+                "are compressed/uncompressed on tiled blocks (headerless).\n\n"
+            )
+            f.write(table + "\n")
+        print(f"wrote {args.md}")
 
 
 if __name__ == "__main__":

@@ -38,14 +38,17 @@ def _blockify(inp: np.ndarray, block_size: int, nb_padded: int) -> tuple[np.ndar
     return buf, blens
 
 
-def compress_framed(data, config: FrameConfig = DEFAULT_FRAME_CONFIG, mesh=None) -> bytes:
-    """Compress into the framed container (parallel-decodable, checksummed)."""
+def dispatch_compress(data, config: FrameConfig = DEFAULT_FRAME_CONFIG, mesh=None):
+    """Async half of compress_framed: returns an opaque ticket whose device
+    work is in flight (JAX dispatch is async). Pass to assemble_compress to
+    fence and build the frame — the split lets the streaming pipeline keep
+    the device busy on chunk k+1 while the host assembles frame k."""
     inp = np.frombuffer(memoryview(data if not isinstance(data, str) else data.encode()), np.uint8) if not isinstance(data, np.ndarray) else data
     n = len(inp)
     bs = config.block_size
     n_blocks = -(-n // bs) if n else 0
     if n_blocks == 0:
-        return framed.build_frame([], [], 0, config)
+        return (None, None, inp, 0, config)
     nb = _bucket(n_blocks)
     if mesh is not None:
         nb = distributed.pad_block_count(nb, mesh.devices.size)
@@ -54,6 +57,16 @@ def compress_framed(data, config: FrameConfig = DEFAULT_FRAME_CONFIG, mesh=None)
         out, olens = distributed.compress_blocks(buf, blens, mesh)
     else:
         out, olens = block_encoder(nb, bs)(jnp.asarray(buf), jnp.asarray(blens))
+    return (out, olens, inp, n_blocks, config)
+
+
+def assemble_compress(ticket) -> bytes:
+    """Fence the device results of dispatch_compress and build the frame."""
+    out, olens, inp, n_blocks, config = ticket
+    if n_blocks == 0:
+        return framed.build_frame([], [], 0, config)
+    n = len(inp)
+    bs = config.block_size
     out = np.asarray(out)
     olens = np.asarray(olens)
     streams = [out[i, : olens[i]].tobytes() for i in range(n_blocks)]
@@ -61,11 +74,16 @@ def compress_framed(data, config: FrameConfig = DEFAULT_FRAME_CONFIG, mesh=None)
     return framed.build_frame(streams, raws, n, config)
 
 
-def uncompress_framed(frame: bytes, mesh=None) -> bytes:
-    """Decode a framed stream block-parallel (optionally mesh-sharded)."""
+def compress_framed(data, config: FrameConfig = DEFAULT_FRAME_CONFIG, mesh=None) -> bytes:
+    """Compress into the framed container (parallel-decodable, checksummed)."""
+    return assemble_compress(dispatch_compress(data, config, mesh))
+
+
+def dispatch_uncompress(frame: bytes, mesh=None):
+    """Async half of uncompress_framed (see dispatch_compress)."""
     idx = framed.parse_index(frame)
     if idx.n_blocks == 0:
-        return b""
+        return (idx, None, None)
     ranges = idx.block_ranges()
     cmax = _bucket(max(int(e - s) for s, e in ranges), 64)
     nb = _bucket(idx.n_blocks)
@@ -86,6 +104,14 @@ def uncompress_framed(frame: bytes, mesh=None) -> bytes:
         out, ok, total = block_decoder(cmax + decode_xla.COMP_PAD, out_size)(
             jnp.asarray(comp), jnp.asarray(clens), jnp.asarray(ulens)
         )
+    return (idx, out, ok)
+
+
+def assemble_uncompress(ticket) -> bytes:
+    """Fence, validate, and join the blocks of dispatch_uncompress."""
+    idx, out, ok = ticket
+    if idx.n_blocks == 0:
+        return b""
     ok = np.asarray(ok)
     if not bool(ok[: idx.n_blocks].all()):
         bad = int(np.flatnonzero(~ok[: idx.n_blocks])[0])
@@ -94,3 +120,8 @@ def uncompress_framed(frame: bytes, mesh=None) -> bytes:
     blocks = [out[i, : idx.block_ulen(i)].tobytes() for i in range(idx.n_blocks)]
     framed.verify_crcs(idx, blocks)
     return b"".join(blocks)
+
+
+def uncompress_framed(frame: bytes, mesh=None) -> bytes:
+    """Decode a framed stream block-parallel (optionally mesh-sharded)."""
+    return assemble_uncompress(dispatch_uncompress(frame, mesh))

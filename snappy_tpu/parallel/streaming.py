@@ -1,34 +1,36 @@
 """Streaming pipeline for large streams (the 644 MB config, BASELINE.md).
 
 A stream is a sequence of self-delimiting frames (parallel/framed.py), each
-covering up to ``blocks_per_frame`` 64 KiB blocks. Host I/O, host<->device
-transfer, and device compute overlap naturally through JAX's async dispatch:
-the host reads chunk k+1 and assembles frame k-1 while the device encodes
-chunk k. Per-host sharding for multi-host runs = each host streams a
-disjoint frame range (frame boundaries are block boundaries, so outputs
-concatenate without coordination beyond ordering).
+covering up to ``blocks_per_frame`` 64 KiB blocks. The pipeline keeps a
+bounded queue of in-flight device dispatches (JAX dispatch is async): while
+the device works on chunk k, the host fences/assembles/writes frame k-d and
+reads chunk k+1 — real read/compute/write overlap, bounded memory.
 
-Recovery model (SURVEY.md §5): blocks are stateless and idempotent; a
-failed or torn frame is re-dispatched or re-read from its frame boundary —
-``uncompress_stream`` reports the byte offset of each frame it commits.
+Recovery model (SURVEY.md §5): blocks are stateless and idempotent, so a
+frame whose decode fails transiently is RE-DISPATCHED once from the frame
+bytes still held by the pipeline before the error is raised; a frame that
+fails twice is genuinely corrupt. ``uncompress_stream`` counts retries in
+``last_stats`` for observability.
 """
 
 from __future__ import annotations
 
-import io
+from collections import deque
 from typing import BinaryIO, Iterator
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from ..core.config import DEFAULT_FRAME_CONFIG, FrameConfig
-from ..core.constants import BLOCK_SIZE
-from ..ops import decode_xla, encode_xla
 from . import framed
-from .host import compress_framed, uncompress_framed
+from . import host as _host
 
 DEFAULT_BLOCKS_PER_FRAME = 32
+# In-flight device dispatches. 2 = classic double-buffering: one frame being
+# assembled on host while the next computes on device.
+PIPELINE_DEPTH = 2
+
+#: stats of the most recent uncompress_stream call: {"frames": n, "retries": n}
+last_stats: dict = {}
 
 
 def compress_stream(
@@ -40,18 +42,24 @@ def compress_stream(
 ) -> int:
     """Compress ``src`` into a sequence of frames on ``dst``.
 
-    Returns total compressed bytes written. Memory is bounded by one frame
-    of blocks regardless of stream size.
+    Returns total compressed bytes written. Memory is bounded by
+    PIPELINE_DEPTH+1 frames of blocks regardless of stream size.
     """
     chunk_bytes = blocks_per_frame * config.block_size
     total = 0
-    while True:
-        chunk = src.read(chunk_bytes)
-        if not chunk:
-            break
-        frame = compress_framed(chunk, config=config, mesh=mesh)
-        dst.write(frame)
-        total += len(frame)
+    pending: deque = deque()
+    eof = False
+    while not eof or pending:
+        if not eof:
+            chunk = src.read(chunk_bytes)
+            if chunk:
+                pending.append(_host.dispatch_compress(chunk, config=config, mesh=mesh))
+            else:
+                eof = True
+        while pending and (len(pending) > PIPELINE_DEPTH or eof):
+            frame = _host.assemble_compress(pending.popleft())
+            dst.write(frame)
+            total += len(frame)
     return total
 
 
@@ -78,13 +86,46 @@ def iter_frames(src: BinaryIO) -> Iterator[bytes]:
         yield head + index + payload
 
 
-def uncompress_stream(src: BinaryIO, dst: BinaryIO, mesh=None) -> int:
-    """Decode a frame-sequence stream; returns total uncompressed bytes."""
+def uncompress_stream(src: BinaryIO, dst: BinaryIO, mesh=None, max_retries: int = 1) -> int:
+    """Decode a frame-sequence stream; returns total uncompressed bytes.
+
+    A frame whose decode fails is re-dispatched up to ``max_retries`` times
+    from its (still held) frame bytes before the error propagates — blocks
+    are stateless, so recovery from a transient device fault is re-dispatch.
+    """
+    global last_stats
     total = 0
-    for frame in iter_frames(src):
-        out = uncompress_framed(frame, mesh=mesh)
-        dst.write(out)
-        total += len(out)
+    frames = 0
+    retries = 0
+    pending: deque = deque()  # (frame_bytes, ticket)
+
+    def commit(frame_bytes, ticket) -> bytes:
+        nonlocal retries
+        for attempt in range(max_retries + 1):
+            try:
+                return _host.assemble_uncompress(ticket)
+            except Exception:
+                if attempt == max_retries:
+                    raise
+                retries += 1
+                ticket = _host.dispatch_uncompress(frame_bytes, mesh=mesh)
+        raise AssertionError("unreachable")
+
+    it = iter_frames(src)
+    eof = False
+    while not eof or pending:
+        if not eof:
+            frame = next(it, None)
+            if frame is None:
+                eof = True
+            else:
+                pending.append((frame, _host.dispatch_uncompress(frame, mesh=mesh)))
+        while pending and (len(pending) > PIPELINE_DEPTH or eof):
+            out = commit(*pending.popleft())
+            dst.write(out)
+            total += len(out)
+            frames += 1
+    last_stats = {"frames": frames, "retries": retries}
     return total
 
 

@@ -49,6 +49,48 @@ def test_frame_iteration_offsets():
     assert partial == raw[2 * 4 * 65536 :]
 
 
+def test_transient_frame_failure_recovers(monkeypatch):
+    """A frame decode that fails once is re-dispatched and succeeds
+    (SURVEY.md §5: blocks are stateless, recovery = re-dispatch)."""
+    raw = read_testdata("html_x_4")
+    src, dst = io.BytesIO(raw), io.BytesIO()
+    streaming.compress_stream(src, dst, blocks_per_frame=2)
+    dst.seek(0)
+
+    from snappy_tpu.parallel import host as phost
+
+    real = phost.assemble_uncompress
+    fail_once = {"armed": True}
+
+    def flaky(ticket):
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            raise RuntimeError("injected transient device fault")
+        return real(ticket)
+
+    monkeypatch.setattr(phost, "assemble_uncompress", flaky)
+    out = io.BytesIO()
+    n = streaming.uncompress_stream(dst, out)
+    assert n == len(raw) and out.getvalue() == raw
+    assert streaming.last_stats["retries"] == 1
+
+
+def test_persistent_frame_failure_raises(monkeypatch):
+    raw = read_testdata("html")
+    src, dst = io.BytesIO(raw), io.BytesIO()
+    streaming.compress_stream(src, dst)
+    dst.seek(0)
+
+    from snappy_tpu.parallel import host as phost
+
+    def broken(ticket):
+        raise RuntimeError("injected permanent fault")
+
+    monkeypatch.setattr(phost, "assemble_uncompress", broken)
+    with pytest.raises(RuntimeError):
+        streaming.uncompress_stream(dst, io.BytesIO())
+
+
 def test_torn_stream_raises():
     src, dst = io.BytesIO(b"x" * 300000), io.BytesIO()
     streaming.compress_stream(src, dst)
