@@ -246,15 +246,16 @@ def main() -> None:
         sraw = corpus_stream(stream_cfg)
         src = io.BytesIO(sraw)
         comp_buf = io.BytesIO()
-        # warm the kernels (first frame compiles)
-        streaming.compress_stream(io.BytesIO(sraw[: 4 << 20]), io.BytesIO(), blocks_per_frame=BATCH)
+        # warm the kernels on one full frame (first frame compiles)
+        warm = io.BytesIO()
+        streaming.compress_stream(io.BytesIO(sraw[: BATCH * BLOCK_SIZE]), warm, blocks_per_frame=BATCH)
+        warm.seek(0)
+        streaming.uncompress_stream(warm, io.BytesIO())
         t0 = time.perf_counter()
         csize = streaming.compress_stream(src, comp_buf, blocks_per_frame=BATCH)
         t_c = time.perf_counter() - t0
         comp_buf.seek(0)
         out_buf = io.BytesIO()
-        streaming.uncompress_stream(io.BytesIO(comp_buf.getvalue()[: 1 << 20]), io.BytesIO())
-        comp_buf.seek(0)
         t0 = time.perf_counter()
         n = streaming.uncompress_stream(comp_buf, out_buf)
         t_u = time.perf_counter() - t0

@@ -31,10 +31,12 @@ class CodecConfig:
     max_match_scan: int = 512
     # Greedy take threshold for the TPU encoder: a match is emitted only if
     # it saves at least this many bytes over staying literal. 1 reproduces
-    # the reference's take-anything greed; 2 skips copies that save a single
-    # byte at the cost of a whole decoder tag — measured on the corpus it
-    # keeps density 8% better than libsnappy while cutting tags ~7%.
-    min_profit: int = 2
+    # the reference's take-anything greed; higher values thin the tag
+    # stream — the TPU decoder is tag-bound, so fewer, longer tags decode
+    # faster. Measured on the corpus: 3 cuts tags ~18% vs 2 while keeping
+    # density ~5% better than real libsnappy (the bench density gate);
+    # 4 lands within noise of the gate, so 3 is the default.
+    min_profit: int = 3
 
     def __post_init__(self) -> None:
         if not 1 <= self.block_size <= 1 << 16:

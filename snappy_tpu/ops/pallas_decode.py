@@ -195,11 +195,12 @@ def _decode_kernel(
     ulen_ref,  # SMEM (1, 1, 1) int32
     cmda_ref,  # SMEM (1, 1, NCP) int32
     cmdb_ref,  # SMEM (1, 1, NCP) int32
-    comp_ref,  # VMEM (1, NRC, LANES) int32: compressed bytes one-per-lane
-    out_ref,  # VMEM (1, NRU, LANES) int32: output bytes one-per-lane
+    comp_ref,  # VMEM (1, NRC+3, LANES) int32: bytes one-per-lane, row-offset 1
+    out_ref,  # VMEM (1, NRU+3, LANES) int32: bytes one-per-lane, row-offset 1
     meta_ref,  # SMEM (1, 1, 2) int32: [ok, produced]
-    lit_ip_ref,  # SMEM scratch (CAP,) int32
+    lit_src_ref,  # SMEM scratch (CAP,) int32: literal body comp address
     lit_op_ref,  # SMEM scratch (CAP,) int32
+    lit_n_ref,  # SMEM scratch (CAP,) int32: literal length
     cpy_ip_ref,  # SMEM scratch (CAP,) int32
     cpy_op_ref,  # SMEM scratch (CAP,) int32
     ovf_ref,  # SMEM scratch (CAP,) int32: >2-row literal overflow queue
@@ -214,40 +215,58 @@ def _decode_kernel(
     clen = clen_ref[0, 0, 0]
     ulen = ulen_ref[0, 0, 0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    sentinel = ncp - 1  # a past-the-stream position: parses as a valid no-op
     zero_row = jnp.zeros((1, LANES), jnp.int32)
+
+    # Both byte buffers carry one zero guard row below logical row 0 and two
+    # above the last logical row (physical index = logical + 1). Valid
+    # records index rows in [-1, nrows+1] by construction, so the drains
+    # need ONE clamp per record (for corrupt streams whose garbage lengths
+    # explode op before the chunk's ok check) instead of a jnp.clip at all
+    # seven load/store sites — the drains are scalar-issue-bound, so every
+    # removed address op is roughly a cycle per record.
+    def row(ref, q):
+        return ref[0, q + 1, :].reshape(1, LANES)
 
     # Deterministic output (masked stores leave untouched lanes).
     def zrow(i, _):
         out_ref[0, i, :] = zero_row.reshape(LANES)
         return 0
 
-    jax.lax.fori_loop(0, nru, zrow, 0, unroll=False)
+    jax.lax.fori_loop(0, nru + 3, zrow, 0, unroll=False)
 
     # ---- generic row movers ------------------------------------------------
-    def make_m(src_ref, nrows, q0, d, ph, shift):
-        """The 128 bytes feeding one destination row: source rows q0, q0+1
-        rolled into destination phase. d = dst - src, ph = (-d) & 127."""
-        a = src_ref[0, jnp.clip(q0, 0, nrows - 1), :].reshape(1, LANES)
-        bb = src_ref[0, jnp.clip(q0 + 1, 0, nrows - 1), :].reshape(1, LANES)
-        return _roll(jnp.where(lane >= ph, a, bb), shift, interpret=interpret)
+    def make_m2(src_ref, q0c, ph, shift):
+        """The two rows of 128 source bytes feeding destination rows r and
+        r+1: three consecutive source rows q0c..q0c+2, blended at phase ph
+        and rolled by shift (= d & 127, d = dst - src)."""
+        a = row(src_ref, q0c)
+        b = row(src_ref, q0c + 1)
+        c = row(src_ref, q0c + 2)
+        sel = lane >= ph
+        m = _roll(jnp.where(sel, a, b), shift, interpret=interpret)
+        m2 = _roll(jnp.where(sel, b, c), shift, interpret=interpret)
+        return m, m2
 
     # ---- the walk ----------------------------------------------------------
     def walk_chunk(ip, op, okw):
-        """Run CHUNK candidate tags from (ip, op); record (ip, op) per tag
-        into its class array. Returns (ip, op, okw, n_lit, n_cpy)."""
+        """Run CHUNK candidate tags from (ip, op); record each tag into its
+        class array pre-digested: literals as (body address, op, length) so
+        the literal drain never touches cmdA, copies as (ip, op). Returns
+        (ip, op, okw, n_lit, n_cpy)."""
 
         def step(state):
             ip, op, okw, tl, tc = state
             v = cmda_ref[0, 0, ip]
-            lit_ip_ref[tl] = ip
+            a = ip + ((v >> A_CX_SHIFT) & 7)  # literal body / copy successor
+            length = v & A_LEN_BITS
+            lit_src_ref[tl] = a
             lit_op_ref[tl] = op
+            lit_n_ref[tl] = length
             cpy_ip_ref[tc] = ip
             cpy_op_ref[tc] = op
-            length = v & A_LEN_BITS
             lit = (v >> A_LIT_SHIFT) & 1
             okw &= v
-            ip = ip + ((v >> A_CX_SHIFT) & 7) + lit * length
+            ip = a + lit * length
             op = op + length
             return ip, op, okw, tl + lit, tc + (1 - lit)
 
@@ -260,9 +279,11 @@ def _decode_kernel(
             0, CHUNK // WALK_UNROLL, body, (ip, op, okw, jnp.int32(0), jnp.int32(0))
         )
         # sentinels so drains may over-read a partial tail group
+        sentinel = ncp - 1  # past-the-stream: cmdB there is 0 (n=0 no-op)
         for j in range(GROUP):
-            lit_ip_ref[tl + j] = sentinel
+            lit_src_ref[tl + j] = sentinel
             lit_op_ref[tl + j] = 0
+            lit_n_ref[tl + j] = 0
             cpy_ip_ref[tc + j] = sentinel
             cpy_op_ref[tc + j] = 0
         return ip, op, okw, tl, tc
@@ -275,26 +296,23 @@ def _decode_kernel(
     # no dynamic inner loop pollutes the pipeline.
     def drain_literals(tl, ovf_t_ref):
         def one(t, nq):
-            ip = lit_ip_ref[t]
+            src = lit_src_ref[t]
             opv = lit_op_ref[t]
-            v = cmda_ref[0, 0, ip]
-            n = v & A_LEN_BITS
-            src = ip + ((v >> A_CX_SHIFT) & 7)  # comp byte address of the body
+            n = lit_n_ref[t]
             d = opv - src
-            ph = (-d) & 127
-            shift = (LANES - ph) & 127
-            r = opv >> 7
+            shift = d & 127
+            ph = (-shift) & 127
+            r = jnp.minimum(opv >> 7, nru - 1)  # binds only on corrupt streams
             lo = opv & 127
-            q0 = (r * LANES - d) >> 7
+            q0 = jnp.clip((r * LANES - d) >> 7, -1, nrc - 1)
             # branch-free: the second-row store has an empty mask when the
             # span does not cross (a scalar branch here would serialize the
             # whole pipelined loop)
-            m = make_m(comp_ref, nrc, q0, d, ph, shift)
+            m, m2 = make_m2(comp_ref, q0, ph, shift)
             keep = (lane >= lo) & (lane < lo + n)
-            _masked_store(out_ref, jnp.clip(r, 0, nru - 1), m, keep, interpret=interpret)
-            m2 = make_m(comp_ref, nrc, q0 + 1, d, ph, shift)
+            _masked_store(out_ref, r + 1, m, keep, interpret=interpret)
             k2 = lane < lo + n - LANES
-            _masked_store(out_ref, jnp.clip(r + 1, 0, nru - 1), m2, k2, interpret=interpret)
+            _masked_store(out_ref, r + 2, m2, k2, interpret=interpret)
 
             long = lo + n > 2 * LANES
             ovf_t_ref[nq] = t
@@ -310,25 +328,26 @@ def _decode_kernel(
 
         def finish(j, _):
             t = ovf_t_ref[j]
-            ip = lit_ip_ref[t]
+            src = lit_src_ref[t]
             opv = lit_op_ref[t]
-            v = cmda_ref[0, 0, ip]
-            n = v & A_LEN_BITS
-            src = ip + ((v >> A_CX_SHIFT) & 7)
+            n = lit_n_ref[t]
             d = opv - src
-            ph = (-d) & 127
-            shift = (LANES - ph) & 127
-            r = opv >> 7
+            shift = d & 127
+            ph = (-shift) & 127
+            r = jnp.minimum(opv >> 7, nru - 1)
             q0 = (r * LANES - d) >> 7
 
-            def row(q, _):
-                mq = make_m(comp_ref, nrc, q0 + (q - r), d, ph, shift)
+            def rowloop(q, _):
+                qc = jnp.clip(q0 + (q - r), -1, nrc - 1)
+                a = row(comp_ref, qc)
+                b = row(comp_ref, qc + 1)
+                mq = _roll(jnp.where(lane >= ph, a, b), shift, interpret=interpret)
                 gl = q * LANES + lane
                 kq = (gl >= opv) & (gl < opv + n)
-                _masked_store(out_ref, jnp.clip(q, 0, nru - 1), mq, kq, interpret=interpret)
+                _masked_store(out_ref, jnp.minimum(q, nru - 1) + 1, mq, kq, interpret=interpret)
                 return 0
 
-            jax.lax.fori_loop(r + 2, ((opv + n - 1) >> 7) + 1, row, 0, unroll=False)
+            jax.lax.fori_loop(r + 2, jnp.minimum(((opv + n - 1) >> 7) + 1, nru), rowloop, 0, unroll=False)
             return 0
 
         jax.lax.fori_loop(0, nq, finish, 0, unroll=False)
@@ -344,21 +363,16 @@ def _decode_kernel(
             o, rem = state
             step = jnp.minimum(jnp.minimum(o - src, rem), LANES)
             d = o - src
-            ph = (-d) & 127
-            shift = (LANES - ph) & 127
-            r = o >> 7
+            shift = d & 127
+            ph = (-shift) & 127
+            r = jnp.minimum(o >> 7, nru - 1)
             lo = o & 127
-            q0 = (r * LANES - d) >> 7
-            m = make_m(out_ref, nru, q0, d, ph, shift)
+            q0 = jnp.clip((r * LANES - d) >> 7, -1, nru - 1)
+            m, m2 = make_m2(out_ref, q0, ph, shift)
             keep = (lane >= lo) & (lane < lo + step)
-            _masked_store(out_ref, jnp.clip(r, 0, nru - 1), m, keep, interpret=interpret)
-
-            @pl.when(lo + step > LANES)
-            def _():
-                m2 = make_m(out_ref, nru, q0 + 1, d, ph, shift)
-                k2 = lane < lo + step - LANES
-                _masked_store(out_ref, jnp.clip(r + 1, 0, nru - 1), m2, k2, interpret=interpret)
-
+            _masked_store(out_ref, r + 1, m, keep, interpret=interpret)
+            k2 = lane < lo + step - LANES
+            _masked_store(out_ref, r + 2, m2, k2, interpret=interpret)
             return o + step, rem - step
 
         jax.lax.while_loop(lambda s: s[1] > 0, sub, (dst, n))
@@ -374,7 +388,7 @@ def _decode_kernel(
             serial_move(opv - f, opv, n)
             return 0
 
-        def group(g, okd):
+        def group(g, oks):
             base = g * GROUP
             lead_op = cpy_op_ref[base]
             staged = []
@@ -387,30 +401,36 @@ def _decode_kernel(
                 f = wb & B_F_BITS
                 n = (wb >> B_N_SHIFT) & 0x7F
                 src = opv - f
-                okd &= (src >= 0) | (n == 0)
+                # validity (src >= 0) accumulates as a sign-bit OR; records
+                # with n == 0 (sentinels/invalid) have f == 0, src = opv >= 0,
+                # so they never poison the accumulator.
+                oks |= src
                 # n bytes from [src, src+n): dst - src = f
-                ph = (-f) & 127
-                shift = (LANES - ph) & 127
-                r = opv >> 7
+                shift = f & 127
+                ph = (-shift) & 127
+                r = jnp.minimum(opv >> 7, nru - 1)
                 lo = opv & 127
-                q0 = (r * LANES - f) >> 7
+                # upper bound is automatic (f >= 0 so q0 <= r <= nru-1)
+                q0 = jnp.maximum((r * LANES - f) >> 7, -1)
                 # Hazard: source bytes not yet written when the group's
                 # loads ran — i.e. the span reaches at or past the group
                 # leader's output position (groupmates write [lead_op, .);
                 # for the leader itself this reduces to exactly the RLE
-                # self-overlap f < n). Byte-precise: sharing a ROW with a
-                # mate's store is harmless, kept lanes never use its bytes.
-                # Hazards queue branch-free and redo serially after the
-                # group's stores (in order, so chained hazards stay right).
-                hz = (src + n > lead_op) & (n > 0)
-                m = make_m(out_ref, nru, q0, f, ph, shift)
+                # self-overlap f < n; n == 0 records have src = opv >=
+                # lead_op only via opv > lead_op... sentinels carry opv = 0,
+                # invalid copies re-run as empty serial moves — harmless).
+                # Byte-precise: sharing a ROW with a mate's store is
+                # harmless, kept lanes never use its bytes. Hazards queue
+                # branch-free and redo serially after the group's stores
+                # (in order, so chained hazards stay right).
+                hz = src + n > lead_op
+                m, m2 = make_m2(out_ref, q0, ph, shift)
                 keep = (lane >= lo) & (lane < lo + n)
-                m2 = make_m(out_ref, nru, q0 + 1, f, ph, shift)
                 keep2 = lane < lo + n - LANES
-                staged.append((t, n, r, m, keep, m2, keep2, hz))
-            for t, n, r, m, keep, m2, keep2, hz in staged:
-                _masked_store(out_ref, jnp.clip(r, 0, nru - 1), m, keep, interpret=interpret)
-                _masked_store(out_ref, jnp.clip(r + 1, 0, nru - 1), m2, keep2, interpret=interpret)
+                staged.append((t, r, m, keep, m2, keep2, hz))
+            for t, r, m, keep, m2, keep2, hz in staged:
+                _masked_store(out_ref, r + 1, m, keep, interpret=interpret)
+                _masked_store(out_ref, r + 2, m2, keep2, interpret=interpret)
                 hzq_ref[nh] = t
                 nh += hz.astype(jnp.int32)
 
@@ -418,9 +438,10 @@ def _decode_kernel(
             def _():
                 jax.lax.fori_loop(0, nh, fallback, 0, unroll=False)
 
-            return okd
+            return oks
 
-        return jax.lax.fori_loop(0, pl.cdiv(tc, GROUP), group, okd, unroll=False)
+        oks = jax.lax.fori_loop(0, pl.cdiv(tc, GROUP), group, jnp.int32(0), unroll=False)
+        return okd & (oks >= 0)
 
     # ---- chunked outer loop ------------------------------------------------
     def chunk(state):
@@ -449,8 +470,8 @@ def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0
     cmax_padded = max(cmax_padded, COMP_PAD + 1)  # degenerate empty streams
     ncp = -(-cmax_padded // LANES) * LANES  # word- and lane-aligned
     nru = out_size // LANES
-    # One spare zero row so second source-row reads stay in bounds.
-    nrc = ncp // LANES + 1
+    # Logical comp rows; buffers get 1 guard row below + 2 above (see kernel).
+    nrc = ncp // LANES
 
     kernel = functools.partial(
         _decode_kernel,
@@ -467,8 +488,8 @@ def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0
             comp_u8 = jnp.pad(comp_u8, ((0, 0), (0, ncp - comp_u8.shape[1])))
         comp_u8 = comp_u8[:, :ncp]
         cmda, cmdb = parse_cmds(comp_u8, clens)
-        comp_i32 = comp_u8.astype(jnp.int32).reshape(b, nrc - 1, LANES)
-        comp_i32 = jnp.pad(comp_i32, ((0, 0), (0, 1), (0, 0)))
+        comp_i32 = comp_u8.astype(jnp.int32).reshape(b, nrc, LANES)
+        comp_i32 = jnp.pad(comp_i32, ((0, 0), (1, 2), (0, 0)))  # guard rows
         out_rows, meta = pl.pallas_call(
             kernel,
             grid=(b,),
@@ -490,17 +511,18 @@ def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0
                     memory_space=pltpu.SMEM,
                     pipeline_mode=pl.Buffered(buffer_count=1),
                 ),
-                pl.BlockSpec((1, nrc, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nrc + 3, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((1, nru, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nru + 3, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((b, nru, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((b, nru + 3, LANES), jnp.int32),
                 jax.ShapeDtypeStruct((b, 1, 2), jnp.int32),
             ),
             scratch_shapes=[
+                pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
                 pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
                 pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
                 pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
@@ -516,7 +538,7 @@ def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0
             cmdb.reshape(b, 1, ncp),
             comp_i32,
         )
-        out = out_rows.reshape(b, out_size).astype(jnp.uint8)
+        out = out_rows[:, 1 : nru + 1, :].reshape(b, out_size).astype(jnp.uint8)
         meta = meta.reshape(b, 2)
         return out, meta[:, 0] > 0, meta[:, 1]
 

@@ -46,41 +46,101 @@ BLOCK_MAX_OUT = max_compressed_length(BLOCK_SIZE)
 # --------------------------------------------------------------------------
 
 
-def candidate_dists(blocks_u8: jnp.ndarray, blens: jnp.ndarray) -> jnp.ndarray:
-    """Packed candidate distances per position.
+# Prepass match lengths are exact up to this cap; the kernel extends capped
+# matches scalar (they are profitable by construction, so extension work is
+# never wasted).
+M_CAP = 8
 
-    blocks_u8: uint8[B, N + ENC_PAD]; blens: int32[B]. Returns
-    int32[B, N]: d1 | (d2 << 16), where d1/d2 are the distances to the two
-    most recent prior positions with an identical 4-byte group (0 = none).
-    Distances >= 2^16 are dropped: the encoder never emits offsets that
-    wide inside a 64 KiB block (reference src/internal.jl:24-31).
+
+def candidate_cmds(blocks_u8: jnp.ndarray, blens: jnp.ndarray, min_profit: int = 1) -> jnp.ndarray:
+    """Per-position parse commands: the vectorized half of the greedy parse.
+
+    blocks_u8: uint8[B, N + ENC_PAD]; blens: int32[B]. Returns int32[B, N]:
+
+      take mode (bits 0-15 nonzero): d | (m << 16) — the best candidate's
+        distance and its match length, exact below M_CAP, == M_CAP meaning
+        "at least M_CAP, kernel extends". Only emitted where the profit
+        (match bytes minus copy-tag bytes, the reference's emit cost model,
+        reference src/internal.jl:289-329) reaches ``min_profit``.
+      skip mode (bits 0-15 zero): next take-mode position << 16 — the
+        TPU-shaped analogue of the reference's growing-stride probe
+        heuristic (reference src/internal.jl:162-172): the scalar walk
+        crosses unprofitable runs in one jump.
+
+    Candidates are exact (kv-sort groups equal 4-byte values; adjacent
+    ranks give the two most recent prior occurrences), and match lengths
+    up to M_CAP are computed HERE, vectorized, by carrying each position's
+    next-4-bytes word through the sort — the scalar core never probes or
+    extends short matches. Distances >= 2^16 are dropped: the encoder
+    never emits offsets that wide inside a 64 KiB block (reference
+    src/internal.jl:24-31).
     """
     n = blocks_u8.shape[-1] - ENC_PAD
     b = blocks_u8.shape[0]
     ci = blocks_u8.astype(jnp.uint32)
-    u32 = (
-        ci[..., :n]
-        | (ci[..., 1 : n + 1] << 8)
-        | (ci[..., 2 : n + 2] << 16)
-        | (ci[..., 3 : n + 3] << 24)
-    )
+
+    def word_at(k: int):
+        return (
+            ci[..., k : n + k]
+            | (ci[..., k + 1 : n + k + 1] << 8)
+            | (ci[..., k + 2 : n + k + 2] << 16)
+            | (ci[..., k + 3 : n + k + 3] << 24)
+        )
+
+    u32 = word_at(0)
+    w1 = word_at(4)  # bytes p+4..p+7 (ENC_PAD slack keeps this in bounds)
     pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    blen = blens.astype(jnp.int32)[:, None]
     # Positions whose 4-byte group straddles the block end would match via
     # padding bytes; push them to a unique key so they pair with nothing.
-    usable = pos <= blens[:, None] - 4
+    usable = pos <= blen - 4
     key = jnp.where(usable, u32, jnp.uint32(0xFFFFFFFF))
-    sv, sp = jax.lax.sort((key, pos), dimension=-1, num_keys=2)
+    sv, sp, sw = jax.lax.sort((key, pos, w1), dimension=-1, num_keys=2)
 
-    def prev_k(k: int):
-        same = jnp.concatenate(
-            [jnp.zeros((b, k), jnp.bool_), sv[..., k:] == sv[..., :-k]], axis=-1
-        )
-        dist = sp - jnp.concatenate([jnp.zeros((b, k), jnp.int32), sp[..., :-k]], axis=-1)
-        return jnp.where(same & (dist < (1 << 16)), dist, 0)
+    def cand_k(k: int):
+        """(match length <= M_CAP, distance) to the k-th previous equal key."""
+        pad_b = jnp.zeros((b, k), jnp.bool_)
+        pad_i = jnp.zeros((b, k), jnp.int32)
+        pad_w = jnp.zeros((b, k), jnp.uint32)
+        same = jnp.concatenate([pad_b, sv[..., k:] == sv[..., :-k]], axis=-1)
+        dist = sp - jnp.concatenate([pad_i, sp[..., :-k]], axis=-1)
+        x = sw ^ jnp.concatenate([pad_w, sw[..., :-k]], axis=-1)
+        mb = jnp.where(
+            (x & 0xFF) != 0,
+            0,
+            jnp.where((x & 0xFFFF) != 0, 1, jnp.where((x & 0xFFFFFF) != 0, 2, jnp.where(x != 0, 3, 4))),
+        ).astype(jnp.int32)
+        ok = same & (dist < (1 << 16))
+        return jnp.where(ok, 4 + mb, 0), jnp.where(ok, dist, 0)
 
-    d1s, d2s = prev_k(1), prev_k(2)
-    _, d1, d2 = jax.lax.sort((sp, d1s, d2s), dimension=-1, num_keys=1)
-    return d1 | (d2 << 16)
+    m1, d1 = cand_k(1)
+    m2, d2 = cand_k(2)
+    # Profit with m capped: copy cost is 2 bytes iff d < 2048 (m <= 8 < 12
+    # always takes the 2-byte form), else 3. A capped match's profit is a
+    # lower bound, so takes are never wrong, only conservative.
+    p1 = jnp.where(m1 > 0, m1 - jnp.where(d1 < 2048, 2, 3), -1)
+    p2 = jnp.where(m2 > 0, m2 - jnp.where(d2 < 2048, 2, 3), -1)
+    use2 = p2 > p1
+    mS, dS, pS = jnp.where(use2, m2, m1), jnp.where(use2, d2, d1), jnp.maximum(p1, p2)
+    # When the candidate NOT chosen is capped, its true length is unknown
+    # and could beat the chosen one; hand it to the kernel to extend and
+    # compare (exactly the old extend-both behavior, paid only where the
+    # prepass cannot decide). 0 = no contest.
+    oM, oD = jnp.where(use2, m1, m2), jnp.where(use2, d1, d2)
+    alt = jnp.where((oM == M_CAP) & (oD != dS), oD, 0)
+    # Back to position order. The take decision is made pre-unsort so the
+    # payload packs into two words (sort cost scales with operand count).
+    takeS = (pS >= min_profit) & (mS >= 4)
+    packA = jnp.where(takeS, dS | (mS << 16), 0)
+    _, pk, d2nd = jax.lax.sort((sp, packA, alt), dimension=-1, num_keys=1)
+    d = pk & 0xFFFF
+    # Clamp to the block tail: a w1 compare may claim bytes past blen.
+    m = jnp.minimum(pk >> 16, blen - pos)
+    take = (d != 0) & (m >= 4)
+    idx = jnp.where(take, pos, n)
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(idx, axis=-1), axis=1), axis=-1)
+    cmds = jnp.where(take, d | (m << 16), jnp.minimum(nxt, 0xFFFF) << 16)
+    return cmds, jnp.where(take, d2nd, 0)
 
 
 # --------------------------------------------------------------------------
@@ -94,21 +154,11 @@ def _roll(vec, shift, *, interpret: bool):
     return pltpu.roll(vec, shift, 1)
 
 
-def _copy_cost(m, d):
-    """Emitted bytes for a copy of length m at offset d (scalar), mirroring
-    the reference's chunked emitter (reference src/internal.jl:306-329)."""
-    k64 = jnp.where(m >= 68, (m - 4) // 64, 0)
-    m2 = m - 64 * k64
-    has60 = jnp.where(m2 > 64, 1, 0)
-    rem = m2 - 60 * has60
-    two = (rem < 12) & (d < 2048)
-    return 3 * (k64 + has60) + jnp.where(two, 2, 3)
-
-
 def _encode_kernel(
     blen_ref,  # SMEM (1, 1, 1) int32
     words_ref,  # SMEM (1, 1, NW) int32: input bytes packed LE 4-per-word
-    dists_ref,  # SMEM (1, 1, N) int32: d1 | d2<<16 per position
+    dists_ref,  # SMEM (1, 1, N) int32: parse commands (see candidate_cmds)
+    alt_ref,  # SMEM (1, 1, N) int32: capped runner-up distances (0 = none)
     inp_ref,  # VMEM (1, NRI, LANES) int32: input bytes one-per-lane
     out_ref,  # VMEM (1, NRO, LANES) int32: output bytes one-per-lane
     meta_ref,  # SMEM (1, 1, 1) int32: emitted length
@@ -116,7 +166,8 @@ def _encode_kernel(
     nri: int,
     nro: int,
     interpret: bool,
-    min_profit: int = 1,
+    debug_mode: int = 0,  # 1: truncate matches at M_CAP (timing diagnostics
+    # only — output is NOT a valid parse of comparable density)
 ):
     blen = blen_ref[0, 0, 0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -130,10 +181,10 @@ def _encode_kernel(
         hi = jnp.where(sh == 0, 0, jax.lax.shift_left(w1, (32 - sh) & 31))
         return lo | hi
 
-    def match_len(a, b_):
-        """Length of the common prefix of input[a:] and input[b_:], where
-        the first 4 bytes are known equal; bounded so a+len <= blen."""
-        limit = blen - a  # > 4 guaranteed by caller's probe bound
+    def match_len(a, b_, start):
+        """Length of the common prefix of input[a:] and input[b_:], given
+        the first ``start`` bytes are known equal; bounded so a+len <= blen."""
+        limit = blen - a
 
         def step(state):
             m, go = state
@@ -151,8 +202,19 @@ def _encode_kernel(
             add = jnp.minimum(add, limit - m)
             return m + add, eq4 & (m + add < limit) & (add == 4)
 
-        m, _ = jax.lax.while_loop(lambda s: s[1], step, (jnp.int32(4), jnp.bool_(True)))
+        m, _ = jax.lax.while_loop(lambda s: s[1], step, (start, jnp.bool_(True)))
         return jnp.minimum(m, limit)
+
+    def _store(r, m, keep):
+        """Masked store: never loads out_ref, so emission cannot hit the
+        load-after-store ordering stall (every output byte in [0, op) is
+        written exactly once, so no read-modify-write is needed)."""
+        rc = jnp.clip(r, 0, nro - 1)
+        if interpret:
+            cur = out_ref[0, rc, :].reshape(1, LANES)
+            out_ref[0, rc, :] = jnp.where(keep, m, cur).reshape(LANES)
+        else:
+            pltpu.store(out_ref.at[0, rc, :], m.reshape(LANES), mask=keep.reshape(LANES))
 
     # ---- emission helpers. op is threaded explicitly (refs close over).
     def emit3(op, b0, b1, b2, cnt):
@@ -163,30 +225,25 @@ def _encode_kernel(
             lane == l0, b0, jnp.where(lane == l0 + 1, b1, jnp.where(lane == l0 + 2, b2, 0))
         )
         keep = (lane >= l0) & (lane < l0 + cnt)
-        rc = jnp.clip(r, 0, nro - 1)
-        cur = out_ref[0, rc, :].reshape(1, LANES)
-        out_ref[0, rc, :] = jnp.where(keep, patch, cur).reshape(LANES)
-
-        @pl.when(l0 + cnt > LANES)
-        def _():
-            patch2 = jnp.where(lane == l0 + 1 - LANES, b1, jnp.where(lane == l0 + 2 - LANES, b2, 0))
-            keep2 = lane < l0 + cnt - LANES
-            rc2 = jnp.clip(r + 1, 0, nro - 1)
-            cur2 = out_ref[0, rc2, :].reshape(1, LANES)
-            out_ref[0, rc2, :] = jnp.where(keep2, patch2, cur2).reshape(LANES)
-
+        _store(r, patch, keep)
+        # branch-free second-row store: empty mask unless the tag crosses
+        patch2 = jnp.where(lane == l0 + 1 - LANES, b1, jnp.where(lane == l0 + 2 - LANES, b2, 0))
+        keep2 = lane < l0 + cnt - LANES
+        _store(r + 1, patch2, keep2)
         return op + cnt
 
     def move_body(s, o, length):
         """Copy length (>=1) input bytes [s, s+length) to output bytes at o
-        (the literal body mover; same row/roll scheme as the decoder)."""
+        (the literal body mover; same row/roll scheme as the decoder).
+        Branch-free for spans of <= 2 output rows (the overwhelmingly
+        common case — tags break literals well below 256 bytes only at
+        emit boundaries); longer spans take one pl.when region."""
         d = o - s
-        ph = (-d) & 127
-        shift = (LANES - ph) & 127
+        shift = d & 127
+        ph = (-shift) & 127
         r0 = o >> 7
         r1 = (o + length - 1) >> 7
         lo = o & 127
-        hi = (o + length - 1) & 127
 
         def span(q):
             qr = q >> 7
@@ -194,98 +251,115 @@ def _encode_kernel(
             b_ = inp_ref[0, jnp.clip(qr + 1, 0, nri - 1), :].reshape(1, LANES)
             return _roll(jnp.where(lane >= ph, a, b_), shift, interpret=interpret)
 
-        def edge(dr, lane_lo, lane_hi):
-            m = span(dr * LANES - d)
-            drc = jnp.clip(dr, 0, nro - 1)
-            cur = out_ref[0, drc, :].reshape(1, LANES)
-            keep = (lane >= lane_lo) & (lane <= lane_hi)
-            out_ref[0, drc, :] = jnp.where(keep, m, cur).reshape(LANES)
+        # hot path: first two rows, second store masks empty if not crossed
+        m0 = span(r0 * LANES - d)
+        _store(r0, m0, (lane >= lo) & (lane < lo + length))
+        m1 = span((r0 + 1) * LANES - d)
+        _store(r0 + 1, m1, lane < lo + length - LANES)
 
-        def one_row(_):
-            edge(r0, lo, hi)
-
-        def multi_row(_):
-            edge(r0, lo, LANES - 1)
-
+        @pl.when(r1 > r0 + 1)
+        def _():
             def mid(r, _):
-                dr = r0 + r
-                out_ref[0, jnp.clip(dr, 0, nro - 1), :] = span(dr * LANES - d).reshape(LANES)
+                gl = r * LANES + lane
+                keep = gl < o + length
+                _store(r, span(r * LANES - d), keep)
                 return 0
 
-            jax.lax.fori_loop(1, r1 - r0, mid, 0, unroll=False)
-            edge(r1, 0, hi)
-
-        jax.lax.cond(r1 == r0, one_row, multi_row, 0)
+            jax.lax.fori_loop(r0 + 2, r1 + 1, mid, 0, unroll=False)
 
     def emit_literal(op, src, length):
-        """Literal tag (reference src/internal.jl:252-287) + body move."""
+        """Literal tag (reference src/internal.jl:252-287) + body move.
+        Branch-free no-op for length == 0 (hl == 0 gives every store an
+        empty mask), so callers need no region around the pending-literal
+        check."""
         nm1 = length - 1
-        hl = jnp.where(nm1 < 60, 1, jnp.where(nm1 < 256, 2, 3))
+        hl = jnp.where(nm1 < 0, 0, jnp.where(nm1 < 60, 1, jnp.where(nm1 < 256, 2, 3)))
         b0 = jnp.where(nm1 < 60, nm1 << 2, jnp.where(nm1 < 256, 60 << 2, 61 << 2))
         op = emit3(op, b0, nm1 & 0xFF, nm1 >> 8, hl)
         move_body(src, op, length)
         return op + length
 
     def emit_copy(op, d, m):
-        """Chunked copy emitter (reference src/internal.jl:289-329)."""
+        """Chunked copy emitter (reference src/internal.jl:289-329). The
+        long-match chunking (m > 64) is fenced behind one pl.when so the
+        common short copy stays region-free."""
 
-        def chunk64(state):
-            m_, op_ = state
-            op_ = emit3(op_, 0x02 | (63 << 2), d & 0xFF, d >> 8, 3)
-            return m_ - 64, op_
+        def long_tail(m_, op_):
+            def chunk64(state):
+                mm, oo = state
+                oo = emit3(oo, 0x02 | (63 << 2), d & 0xFF, d >> 8, 3)
+                return mm - 64, oo
 
-        m, op = jax.lax.while_loop(lambda s: s[0] >= 68, chunk64, (m, op))
+            m_, op_ = jax.lax.while_loop(lambda s: s[0] >= 68, chunk64, (m_, op_))
 
-        def chunk60(state):
-            m_, op_ = state
-            op_ = emit3(op_, 0x02 | (59 << 2), d & 0xFF, d >> 8, 3)
-            return m_ - 60, op_
+            def chunk60(state):
+                mm, oo = state
+                oo = emit3(oo, 0x02 | (59 << 2), d & 0xFF, d >> 8, 3)
+                return mm - 60, oo
 
-        m, op = jax.lax.cond(m > 64, chunk60, lambda s: s, (m, op))
+            return jax.lax.cond(m_ > 64, chunk60, lambda s: s, (m_, op_))
+
+        m, op = jax.lax.cond(m > 64, lambda s: long_tail(*s), lambda s: s, (m, op))
         two = (m < 12) & (d < 2048)
         b0 = jnp.where(
             two, 0x01 | ((m - 4) << 2) | ((d >> 8) << 5), 0x02 | ((m - 1) << 2)
         )
-        b1 = jnp.where(two, d & 0xFF, d & 0xFF)
         b2 = d >> 8
-        return emit3(op, b0, b1, b2, jnp.where(two, 2, 3))
+        return emit3(op, b0, d & 0xFF, b2, jnp.where(two, 2, 3))
 
-    # ---- main greedy scan (reference src/internal.jl:127-250).
+    # ---- main commit walk. The prepass (candidate_cmds) already made every
+    # probe/extend/profit decision vectorized (including min_profit tag
+    # thinning); the scalar core only jumps between take positions and
+    # emits. This is the encode-side mirror of the decoder's walk/drain
+    # split: reference src/internal.jl:127-250's scan loop collapses to
+    # alternating jump->take steps.
     def probe(state):
         ip, anchor, op = state
         cd = dists_ref[0, 0, ip]
-        d1 = cd & 0xFFFF
-        d2 = jax.lax.shift_right_logical(cd, 16) & 0xFFFF
+        d = cd & 0xFFFF
+        hi = jax.lax.shift_right_logical(cd, 16)
 
-        def no_match(_):
-            return ip + 1, anchor, op
+        def skip(_):
+            # d == 0: high bits carry the next take-mode position.
+            return jnp.maximum(hi, ip + 1), anchor, op
 
-        def with_cand(_):
-            # cond (not where): match_len must not run for an absent
-            # candidate — it would scan from ip to the block end.
-            m1 = jax.lax.cond(d1 > 0, lambda _: match_len(ip, ip - d1), lambda _: jnp.int32(0), 0)
-            m2 = jax.lax.cond(d2 > 0, lambda _: match_len(ip, ip - d2), lambda _: jnp.int32(0), 0)
-            p1 = jnp.where(m1 >= 4, m1 - _copy_cost(m1, d1), -1)
-            p2 = jnp.where(m2 >= 4, m2 - _copy_cost(m2, d2), -1)
-            use2 = p2 > p1
-            m = jnp.where(use2, m2, m1)
-            d = jnp.where(use2, d2, d1)
-            prof = jnp.maximum(p1, p2)
-
-            def take(_):
-                lit = ip - anchor
-                op2 = jax.lax.cond(
-                    lit > 0, lambda o: emit_literal(o, anchor, lit), lambda o: o, op
+        def take(_):
+            # hi is exact below M_CAP; == M_CAP means "at least M_CAP".
+            if debug_mode == 1:
+                m = hi
+            else:
+                m = jax.lax.cond(
+                    hi >= M_CAP,
+                    lambda _: match_len(ip, ip - d, jnp.int32(M_CAP)),
+                    lambda _: hi,
+                    0,
                 )
-                op3 = emit_copy(op2, d, m)
-                return ip + m, ip + m, op3
 
-            # min_profit > 1 thins the parse: marginal short copies cost a
-            # decoder tag for 1-2 saved bytes; skipping them trades a little
-            # density for decode throughput (the TPU decoder is tag-bound).
-            return jax.lax.cond(prof >= min_profit, take, lambda _: (ip + 1, anchor, op), 0)
+            # A capped runner-up candidate may extend farther than the
+            # prepass's pick — extend and keep the better (score = match
+            # bytes minus the extra byte of a far offset).
+            def contest(md):
+                m_, d_ = md
+                d2v = alt_ref[0, 0, ip]
 
-        return jax.lax.cond(cd != 0, with_cand, no_match, 0)
+                def ext(_):
+                    m2 = match_len(ip, ip - d2v, jnp.int32(M_CAP))
+                    far2 = jnp.where(d2v >= 2048, 1, 0)
+                    far1 = jnp.where(d_ >= 2048, 1, 0)
+                    better = (m2 - far2) > (m_ - far1)
+                    return jnp.where(better, m2, m_), jnp.where(better, d2v, d_)
+
+                return jax.lax.cond(d2v > 0, ext, lambda _: (m_, d_), 0)
+
+            m, dd = (m, d) if debug_mode == 1 else contest((m, d))
+            lit = ip - anchor
+            if debug_mode == 2:  # walk + extension only: no emission
+                return ip + m, ip + m, op + lit + dd + m
+            op2 = emit_literal(op, anchor, lit)  # branch-free no-op if lit == 0
+            op3 = emit_copy(op2, dd, m)
+            return ip + m, ip + m, op3
+
+        return jax.lax.cond(d != 0, take, skip, 0)
 
     ip, anchor, op = jax.lax.while_loop(
         lambda s: s[0] <= blen - 4, probe, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
@@ -298,7 +372,7 @@ def _encode_kernel(
     meta_ref[0, 0, 0] = op
 
 
-def _build(block_size: int, interpret: bool, min_profit: int = 1):
+def _build(block_size: int, interpret: bool, min_profit: int = 1, debug_mode: int = 0):
     if block_size % LANES:
         raise ValueError(f"block_size must be a multiple of {LANES}")
     n = block_size
@@ -307,13 +381,13 @@ def _build(block_size: int, interpret: bool, min_profit: int = 1):
     nw = (n + ENC_PAD) // 4
 
     kernel = functools.partial(
-        _encode_kernel, nri=nri, nro=nro, interpret=interpret, min_profit=min_profit
+        _encode_kernel, nri=nri, nro=nro, interpret=interpret, debug_mode=debug_mode
     )
 
     def fn(blocks_u8: jnp.ndarray, blens: jnp.ndarray):
         b = blocks_u8.shape[0]
         assert blocks_u8.shape[1] == n + ENC_PAD
-        dists = candidate_dists(blocks_u8, blens).reshape(b, 1, n)
+        cmds, alt = candidate_cmds(blocks_u8, blens, min_profit)
         words = jax.lax.bitcast_convert_type(
             blocks_u8.reshape(b, nw, 4), jnp.int32
         ).reshape(b, 1, nw)
@@ -325,7 +399,17 @@ def _build(block_size: int, interpret: bool, min_profit: int = 1):
             in_specs=[
                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, nw), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+                # The two 256 KiB command windows are single-buffered to fit
+                # the 1 MiB SMEM; the lost DMA overlap is negligible vs the
+                # per-block walk time.
+                pl.BlockSpec(
+                    (1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.SMEM,
+                    pipeline_mode=pl.Buffered(buffer_count=1),
+                ),
+                pl.BlockSpec(
+                    (1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.SMEM,
+                    pipeline_mode=pl.Buffered(buffer_count=1),
+                ),
                 pl.BlockSpec((1, nri, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
@@ -337,7 +421,7 @@ def _build(block_size: int, interpret: bool, min_profit: int = 1):
                 jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
             ),
             interpret=interpret,
-        )(blens.reshape(b, 1, 1), words, dists, inp_i32)
+        )(blens.reshape(b, 1, 1), words, cmds.reshape(b, 1, n), alt.reshape(b, 1, n), inp_i32)
         out = out_rows.reshape(b, nro * LANES)[:, :BLOCK_MAX_OUT].astype(jnp.uint8)
         return out, meta.reshape(b)
 

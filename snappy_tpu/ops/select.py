@@ -41,5 +41,7 @@ def block_encoder(n_blocks: int, block_size: int):
         and block_size % pallas_encode.LANES == 0
         and block_size <= pallas_encode.BLOCK_SIZE
     ):
-        return pallas_encode.encode_blocks_jit(block_size)
+        from ..core.config import DEFAULT_MIN_PROFIT
+
+        return pallas_encode.encode_blocks_jit(block_size, False, DEFAULT_MIN_PROFIT)
     return encode_xla.encode_blocks_jit(n_blocks)

@@ -26,6 +26,15 @@ def _bucket(n: int, floor: int = 1) -> int:
     return b
 
 
+def _bucket_cmax(n: int) -> int:
+    """Compressed-width bucket: 8 KiB granularity instead of power-of-two.
+    A power-of-two bucket sends ~65.5 KiB incompressible blocks to 131072,
+    whose two SMEM command windows (2 x 512 KiB) overflow the 1 MiB SMEM in
+    the Pallas decoder; 8 KiB steps keep the compile-shape count small
+    (<=10) without the 2x blowup."""
+    return max(8192, -(-n // 8192) * 8192)
+
+
 def _blockify(inp: np.ndarray, block_size: int, nb_padded: int) -> tuple[np.ndarray, np.ndarray]:
     buf = np.zeros((nb_padded, block_size + encode_xla.ENC_PAD), np.uint8)
     blens = np.zeros(nb_padded, np.int32)
@@ -85,7 +94,7 @@ def dispatch_uncompress(frame: bytes, mesh=None):
     if idx.n_blocks == 0:
         return (idx, None, None)
     ranges = idx.block_ranges()
-    cmax = _bucket(max(int(e - s) for s, e in ranges), 64)
+    cmax = _bucket_cmax(max(int(e - s) for s, e in ranges))
     nb = _bucket(idx.n_blocks)
     if mesh is not None:
         nb = distributed.pad_block_count(nb, mesh.devices.size)
