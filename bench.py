@@ -82,13 +82,21 @@ def fence(x) -> None:
 
 
 def time_dispatch(fn, args, iters: int = 5) -> float:
-    """Min seconds of one large dispatch, fence cost subtracted."""
+    """Min seconds of one large dispatch, fence cost subtracted.
+
+    The fence itself costs ~25 ms on the tunnelled device — comparable to
+    the dispatch being measured — so its cost is calibrated as a median of
+    several fence-only samples (a single sample's jitter would dominate
+    the subtraction)."""
     out = fn(*args)
     fence(out)
-    # fence-only calibration: re-fence the ready result
-    t0 = time.perf_counter()
-    fence(out)
-    fence_cost = time.perf_counter() - t0
+    fsamples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        fence(out)
+        fsamples.append(time.perf_counter() - t0)
+    fsamples.sort()
+    fence_cost = fsamples[len(fsamples) // 2]
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()

@@ -293,9 +293,10 @@ def _best_encoder(nb: int):
         import jax
 
         if jax.devices()[0].platform == "tpu":
+            from ..core.config import DEFAULT_MIN_PROFIT
             from . import pallas_encode
 
-            return pallas_encode.encode_blocks_jit(BLOCK_SIZE)
+            return pallas_encode.encode_blocks_jit(BLOCK_SIZE, False, DEFAULT_MIN_PROFIT)
     except Exception:
         pass
     return encode_blocks_jit(nb)

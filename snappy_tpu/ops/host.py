@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..core import varint
 from ..core.errors import CorruptInputError, InputTooLargeError
+from ..utils.profiling import trace_annotation
 from . import decode_xla
 
 
@@ -45,8 +46,10 @@ def uncompress(data) -> bytes:
     padded = np.zeros(nc + decode_xla.COMP_PAD, dtype=np.uint8)
     padded[: len(comp)] = comp
     fn = decode_xla.decode_padded_jit(nc + decode_xla.COMP_PAD, nu)
-    out, ok, _ = fn(jnp.asarray(padded), len(comp), ulen, start)
-    if not bool(ok):
+    with trace_annotation("snappy.uncompress"):
+        out, ok, _ = fn(jnp.asarray(padded), len(comp), ulen, start)
+        ok = bool(ok)
+    if not ok:
         raise CorruptInputError("corrupt snappy stream")
     return np.asarray(out[:ulen]).tobytes()
 
@@ -58,4 +61,5 @@ def compress(data) -> bytes:
     inp = _as_np(data)
     if len(inp) > 0xFFFFFFFF:
         raise InputTooLargeError("input exceeds 2**32-1 bytes")
-    return encode_xla.compress_host(inp)
+    with trace_annotation("snappy.compress"):
+        return encode_xla.compress_host(inp)

@@ -10,13 +10,18 @@ Counterpart of pallas_decode.py, replacing the reference's scalar scan
     where gathers/scatters run at scalar rate — and exact candidates
     strictly dominate the reference's collision-prone 16K hash table
     (reference src/internal.jl:94-113), so parse density >= libsnappy's.
-  - the GREEDY PARSE walks positions on the scalar core: one SMEM load
-    per probe (the packed candidate pair), match extension by 4-byte word
-    compares from SMEM, profit-based candidate choice mirroring the
-    reference's emit cost model (reference src/internal.jl:289-329).
+    Match lengths up to M_CAP and every take/skip/profit decision are
+    also computed in this prepass by carrying the next-4-bytes word
+    through the sort (reference's emit cost model,
+    src/internal.jl:289-329).
+  - the COMMIT WALK on the scalar core only jumps between profitable
+    positions (skip table) and emits; matches past M_CAP extend by
+    4-byte SMEM word compares (scalar — see match_len for why not vector).
   - EMISSION writes tag bytes as masked row blends and literal bodies as
     128-lane row moves with one dynamic lane roll (same mover as the
-    decoder), into a VMEM-resident output block.
+    decoder), into a VMEM-resident output block; all stores are masked
+    (never read-modify-write), so emission cannot stall on the
+    load-after-store ordering hazard.
 
 Blocks are independent (reference src/Snappy.jl:29-33): grid = one step
 per 64 KiB block, inputs/outputs double-buffered by Pallas.
@@ -183,7 +188,11 @@ def _encode_kernel(
 
     def match_len(a, b_, start):
         """Length of the common prefix of input[a:] and input[b_:], given
-        the first ``start`` bytes are known equal; bounded so a+len <= blen."""
+        the first ``start`` bytes are known equal; bounded so a+len <= blen.
+        Scalar 4-byte word compares from SMEM: a 128-lane VMEM compare
+        variant was measured 2x SLOWER overall — the per-iteration
+        vector-to-scalar readback of the mismatch index costs more on the
+        scalar core than the word loop it replaces."""
         limit = blen - a
 
         def step(state):
@@ -378,7 +387,6 @@ def _build(block_size: int, interpret: bool, min_profit: int = 1, debug_mode: in
     n = block_size
     nri = -(-(n + ENC_PAD) // LANES) + 1
     nro = -(-BLOCK_MAX_OUT // LANES) + 1
-    nw = (n + ENC_PAD) // 4
 
     kernel = functools.partial(
         _encode_kernel, nri=nri, nro=nro, interpret=interpret, debug_mode=debug_mode
@@ -388,6 +396,7 @@ def _build(block_size: int, interpret: bool, min_profit: int = 1, debug_mode: in
         b = blocks_u8.shape[0]
         assert blocks_u8.shape[1] == n + ENC_PAD
         cmds, alt = candidate_cmds(blocks_u8, blens, min_profit)
+        nw = (n + ENC_PAD) // 4
         words = jax.lax.bitcast_convert_type(
             blocks_u8.reshape(b, nw, 4), jnp.int32
         ).reshape(b, 1, nw)

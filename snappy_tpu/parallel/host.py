@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..core.config import DEFAULT_FRAME_CONFIG, FrameConfig
 from ..core.errors import CorruptInputError
+from ..utils.profiling import trace_annotation
 from ..ops import decode_xla, encode_xla
 from ..ops.select import block_decoder, block_encoder  # noqa: F401  (re-export)
 from . import distributed, framed
@@ -62,10 +63,11 @@ def dispatch_compress(data, config: FrameConfig = DEFAULT_FRAME_CONFIG, mesh=Non
     if mesh is not None:
         nb = distributed.pad_block_count(nb, mesh.devices.size)
     buf, blens = _blockify(inp, bs, nb)
-    if mesh is not None:
-        out, olens = distributed.compress_blocks(buf, blens, mesh)
-    else:
-        out, olens = block_encoder(nb, bs)(jnp.asarray(buf), jnp.asarray(blens))
+    with trace_annotation("framed.dispatch_compress"):
+        if mesh is not None:
+            out, olens = distributed.compress_blocks(buf, blens, mesh)
+        else:
+            out, olens = block_encoder(nb, bs)(jnp.asarray(buf), jnp.asarray(blens))
     return (out, olens, inp, n_blocks, config)
 
 
@@ -107,12 +109,13 @@ def dispatch_uncompress(frame: bytes, mesh=None):
         clens[i] = e - s
         ulens[i] = idx.block_ulen(i)
     out_size = _bucket(int(idx.block_size), 64)
-    if mesh is not None:
-        out, ok, total = distributed.decompress_blocks(comp, clens, ulens, mesh, out_size)
-    else:
-        out, ok, total = block_decoder(cmax + decode_xla.COMP_PAD, out_size)(
-            jnp.asarray(comp), jnp.asarray(clens), jnp.asarray(ulens)
-        )
+    with trace_annotation("framed.dispatch_uncompress"):
+        if mesh is not None:
+            out, ok, total = distributed.decompress_blocks(comp, clens, ulens, mesh, out_size)
+        else:
+            out, ok, total = block_decoder(cmax + decode_xla.COMP_PAD, out_size)(
+                jnp.asarray(comp), jnp.asarray(clens), jnp.asarray(ulens)
+            )
     return (idx, out, ok)
 
 
