@@ -35,7 +35,11 @@ class CodecConfig:
     # stream — the TPU decoder is tag-bound, so fewer, longer tags decode
     # faster. Measured on the corpus: 3 cuts tags ~18% vs 2 while keeping
     # density ~5% better than real libsnappy (the bench density gate);
-    # 4 lands within noise of the gate, so 3 is the default.
+    # 4 lands within noise of the gate, so 3 is the default. The active
+    # value reaches the device encoder via FrameConfig.min_profit (framed
+    # path) or an explicit ``min_profit=`` argument to
+    # ops.select.block_encoder; DEFAULT_MIN_PROFIT below is the shared
+    # default both read.
     min_profit: int = 3
 
     def __post_init__(self) -> None:
@@ -58,6 +62,9 @@ class FrameConfig:
 
     block_size: int = BLOCK_SIZE
     checksum: bool = True
+    # Greedy take threshold for the device encoder on this frame's blocks
+    # (see CodecConfig.min_profit for the rationale behind the default).
+    min_profit: int = DEFAULT_MIN_PROFIT
 
 
 DEFAULT_FRAME_CONFIG = FrameConfig()

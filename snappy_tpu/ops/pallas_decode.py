@@ -33,7 +33,7 @@ Structure per block (grid step):
   per record; spans crossing an output row take a predicated second store;
   >128-byte literals take a row loop (rare: 0.1% on the corpus).
 
-  COPY DRAIN (ordered): groups of 8 — all loads, then all masked stores,
+  COPY DRAIN (ordered): groups of GROUP (16) — all loads, then all masked stores,
   paying the ref-ordering stall once per group (fact 3). Self-overlapping
   (RLE, reference src/internal.jl:469-509) and near copies whose sources
   row-overlap a groupmate's destination re-run serially after the group's

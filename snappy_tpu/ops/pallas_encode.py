@@ -57,10 +57,16 @@ BLOCK_MAX_OUT = max_compressed_length(BLOCK_SIZE)
 M_CAP = 8
 
 
-def candidate_cmds(blocks_u8: jnp.ndarray, blens: jnp.ndarray, min_profit: int = 1) -> jnp.ndarray:
+def candidate_cmds(
+    blocks_u8: jnp.ndarray, blens: jnp.ndarray, min_profit: int = 1
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-position parse commands: the vectorized half of the greedy parse.
 
-    blocks_u8: uint8[B, N + ENC_PAD]; blens: int32[B]. Returns int32[B, N]:
+    blocks_u8: uint8[B, N + ENC_PAD]; blens: int32[B]. Returns a pair
+    (cmds, alt), both int32[B, N]. ``alt`` holds, per position, the capped
+    runner-up candidate's distance (0 = no contest): when both candidates
+    reached M_CAP the prepass cannot rank them, so the kernel extends the
+    runner-up too and keeps the better. ``cmds``:
 
       take mode (bits 0-15 nonzero): d | (m << 16) — the best candidate's
         distance and its match length, exact below M_CAP, == M_CAP meaning

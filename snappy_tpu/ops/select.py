@@ -32,16 +32,19 @@ def block_decoder(cmax_padded: int, out_size: int):
     return decode_xla.decode_blocks_jit(cmax_padded, out_size)
 
 
-def block_encoder(n_blocks: int, block_size: int):
+def block_encoder(n_blocks: int, block_size: int, min_profit: int | None = None):
     """Best block encoder for the current platform (see block_decoder; the
     Pallas greedy-parse kernel compresses denser than libsnappy and is the
-    only encoder that runs at usable speed on chip)."""
+    only encoder that runs at usable speed on chip). ``min_profit`` is the
+    greedy take threshold (None = CodecConfig default)."""
+    if min_profit is None:
+        from ..core.config import DEFAULT_MIN_PROFIT
+
+        min_profit = DEFAULT_MIN_PROFIT
     if (
         on_tpu()
         and block_size % pallas_encode.LANES == 0
         and block_size <= pallas_encode.BLOCK_SIZE
     ):
-        from ..core.config import DEFAULT_MIN_PROFIT
-
-        return pallas_encode.encode_blocks_jit(block_size, False, DEFAULT_MIN_PROFIT)
+        return pallas_encode.encode_blocks_jit(block_size, False, min_profit)
     return encode_xla.encode_blocks_jit(n_blocks)

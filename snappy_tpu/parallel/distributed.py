@@ -43,7 +43,7 @@ def pad_block_count(n_blocks: int, n_devices: int) -> int:
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_encode(mesh: Mesh, gather: bool):
+def _sharded_encode(mesh: Mesh, gather: bool, min_profit: int | None = None):
     """shard_map'd batched encoder over the block axis.
 
     gather=False: outputs stay sharded (host assembles in index order —
@@ -56,7 +56,9 @@ def _sharded_encode(mesh: Mesh, gather: bool):
         # Same platform-based kernel selection as the single-host driver
         # (Pallas on TPU, XLA elsewhere); pallas_call composes with
         # shard_map, so each chip runs the fast kernel on its local blocks.
-        enc = select.block_encoder(blocks.shape[0], blocks.shape[1] - select.encode_xla.ENC_PAD)
+        enc = select.block_encoder(
+            blocks.shape[0], blocks.shape[1] - select.encode_xla.ENC_PAD, min_profit
+        )
         out, olens = enc(blocks, blens)
         if gather:
             out = jax.lax.all_gather(out, AXIS, tiled=True)
@@ -67,6 +69,10 @@ def _sharded_encode(mesh: Mesh, gather: bool):
     spec_out = P() if gather else P(AXIS)
     # check_vma=False: pallas_call outputs carry no vma annotation, and the
     # all_gather outputs are replicated in fact, not by vma inference.
+    # pallas_call (reachable through select.block_encoder on TPU) is the
+    # SOLE reason this is disabled on both paths — re-enable once Pallas
+    # propagates vma annotations so shard_map's replication checking guards
+    # future edits to these drivers again.
     fn = jax.shard_map(local, mesh=mesh, in_specs=(spec_in, spec_in), out_specs=(spec_out, spec_out),
                    check_vma=False)
     return jax.jit(fn)
@@ -96,14 +102,20 @@ def _device_put_sharded(arr: np.ndarray, mesh: Mesh) -> jax.Array:
     return jax.device_put(arr, NamedSharding(mesh, P(AXIS)))
 
 
-def compress_blocks(blocks: np.ndarray, blens: np.ndarray, mesh: Mesh, gather: bool = False):
+def compress_blocks(
+    blocks: np.ndarray,
+    blens: np.ndarray,
+    mesh: Mesh,
+    gather: bool = False,
+    min_profit: int | None = None,
+):
     """Encode a [NB, BLOCK_SIZE+ENC_PAD] batch sharded over ``mesh``.
 
     NB must be a multiple of the mesh size (see pad_block_count).
     Returns (out [NB, BLOCK_MAX_OUT], olens [NB]) — sharded, or replicated
     if gather=True.
     """
-    fn = _sharded_encode(mesh, gather)
+    fn = _sharded_encode(mesh, gather, min_profit)
     return fn(_device_put_sharded(blocks, mesh), _device_put_sharded(blens.astype(np.int32), mesh))
 
 

@@ -65,9 +65,11 @@ def dispatch_compress(data, config: FrameConfig = DEFAULT_FRAME_CONFIG, mesh=Non
     buf, blens = _blockify(inp, bs, nb)
     with trace_annotation("framed.dispatch_compress"):
         if mesh is not None:
-            out, olens = distributed.compress_blocks(buf, blens, mesh)
+            out, olens = distributed.compress_blocks(buf, blens, mesh, min_profit=config.min_profit)
         else:
-            out, olens = block_encoder(nb, bs)(jnp.asarray(buf), jnp.asarray(blens))
+            out, olens = block_encoder(nb, bs, config.min_profit)(
+                jnp.asarray(buf), jnp.asarray(blens)
+            )
     return (out, olens, inp, n_blocks, config)
 
 

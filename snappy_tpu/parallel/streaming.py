@@ -21,6 +21,7 @@ from typing import BinaryIO, Iterator
 import numpy as np
 
 from ..core.config import DEFAULT_FRAME_CONFIG, FrameConfig
+from ..core.errors import CorruptInputError
 from . import framed
 from . import host as _host
 
@@ -97,17 +98,23 @@ def uncompress_stream(src: BinaryIO, dst: BinaryIO, mesh=None, max_retries: int 
     total = 0
     frames = 0
     retries = 0
+    retry_exc: str | None = None
     pending: deque = deque()  # (frame_bytes, ticket)
 
     def commit(frame_bytes, ticket) -> bytes:
-        nonlocal retries
+        nonlocal retries, retry_exc
         for attempt in range(max_retries + 1):
             try:
                 return _host.assemble_uncompress(ticket)
-            except Exception:
+            except CorruptInputError:
+                # Data corruption is deterministic: re-decoding the same
+                # bytes cannot succeed, so don't waste device work on it.
+                raise
+            except Exception as e:
                 if attempt == max_retries:
                     raise
                 retries += 1
+                retry_exc = type(e).__name__
                 ticket = _host.dispatch_uncompress(frame_bytes, mesh=mesh)
         raise AssertionError("unreachable")
 
@@ -126,6 +133,8 @@ def uncompress_stream(src: BinaryIO, dst: BinaryIO, mesh=None, max_retries: int 
             total += len(out)
             frames += 1
     last_stats = {"frames": frames, "retries": retries}
+    if retry_exc is not None:
+        last_stats["last_retry_exception"] = retry_exc
     return total
 
 

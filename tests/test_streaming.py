@@ -75,6 +75,29 @@ def test_transient_frame_failure_recovers(monkeypatch):
     assert streaming.last_stats["retries"] == 1
 
 
+def test_corrupt_frame_does_not_retry(monkeypatch):
+    """Data corruption is deterministic: the pipeline must NOT burn a
+    re-dispatch on CorruptInputError (ADVICE r2) — only transient faults
+    retry."""
+    raw = read_testdata("html")
+    src, dst = io.BytesIO(raw), io.BytesIO()
+    streaming.compress_stream(src, dst)
+    dst.seek(0)
+
+    from snappy_tpu.parallel import host as phost
+
+    calls = {"n": 0}
+
+    def corrupt(ticket):
+        calls["n"] += 1
+        raise CorruptInputError("injected corruption")
+
+    monkeypatch.setattr(phost, "assemble_uncompress", corrupt)
+    with pytest.raises(CorruptInputError):
+        streaming.uncompress_stream(dst, io.BytesIO())
+    assert calls["n"] == 1  # no re-dispatch, no second decode
+
+
 def test_persistent_frame_failure_raises(monkeypatch):
     raw = read_testdata("html")
     src, dst = io.BytesIO(raw), io.BytesIO()
