@@ -211,6 +211,7 @@ def _decode_kernel(
     nru: int,
     interpret: bool,
     debug_mode: int = 0,  # 0=full, 2=walk only, 3=walk+literals
+    group: int = GROUP,
 ):
     clen = clen_ref[0, 0, 0]
     ulen = ulen_ref[0, 0, 0]
@@ -280,7 +281,7 @@ def _decode_kernel(
         )
         # sentinels so drains may over-read a partial tail group
         sentinel = ncp - 1  # past-the-stream: cmdB there is 0 (n=0 no-op)
-        for j in range(GROUP):
+        for j in range(group):
             lit_src_ref[tl + j] = sentinel
             lit_op_ref[tl + j] = 0
             lit_n_ref[tl + j] = 0
@@ -353,29 +354,53 @@ def _decode_kernel(
         jax.lax.fori_loop(0, nq, finish, 0, unroll=False)
 
     # ---- copy drain --------------------------------------------------------
-    def serial_move(src, dst, n):
-        """In-order sub-moves with growing step: correct for self-overlap
-        (RLE chunk doubling, reference src/internal.jl:469-509). Reads the
-        output ref directly; each iteration pays the ordering stall — used
-        only for hazardous records."""
+    def hazard_move(src, dst, n):
+        """Re-move for one hazardous record (stale group loads). All bytes
+        below ``dst`` ARE materialized by now, so a single reload suffices
+        for near copies (f >= n); self-overlapping RLE copies (f < n,
+        reference src/internal.jl:469-509) extend the loaded period
+        IN-REGISTER by lane-doubling rolls — no load-store ping-pong, so
+        the whole record pays the reload ordering stall once (plus once
+        more for the rare row-crossing tail) instead of once per
+        growing-step sub-move."""
+        f = dst - src
+        shift = f & 127
+        ph = (-shift) & 127
+        r = jnp.minimum(dst >> 7, nru - 1)
+        lo = dst & 127
+        q0 = jnp.clip((r * LANES - f) >> 7, -1, nru - 1)
+        m, _m2 = make_m2(out_ref, q0, ph, shift)
+        # Lanes [lo, lo+f) of m hold bytes that predate this record; for
+        # RLE each doubling roll makes lanes [lo+it, lo+2*it) valid too
+        # (out[dst+j] = out[dst+j-f] = lane j-it's byte). Stops instantly
+        # when f >= n.
+        row1 = jnp.minimum(n, LANES - lo)  # bytes this record puts in row r
 
-        def sub(state):
-            o, rem = state
-            step = jnp.minimum(jnp.minimum(o - src, rem), LANES)
-            d = o - src
-            shift = d & 127
-            ph = (-shift) & 127
-            r = jnp.minimum(o >> 7, nru - 1)
-            lo = o & 127
-            q0 = jnp.clip((r * LANES - d) >> 7, -1, nru - 1)
-            m, m2 = make_m2(out_ref, q0, ph, shift)
-            keep = (lane >= lo) & (lane < lo + step)
-            _masked_store(out_ref, r + 1, m, keep, interpret=interpret)
-            k2 = lane < lo + step - LANES
-            _masked_store(out_ref, r + 2, m2, k2, interpret=interpret)
-            return o + step, rem - step
+        def dbl(state):
+            mm, it = state
+            mm = jnp.where(lane >= lo + it, _roll(mm, it, interpret=interpret), mm)
+            return mm, it * 2
 
-        jax.lax.while_loop(lambda s: s[1] > 0, sub, (dst, n))
+        m, _ = jax.lax.while_loop(lambda s: s[1] < row1, dbl, (m, f))
+        keep = (lane >= lo) & (lane < lo + n)
+        _masked_store(out_ref, r + 1, m, keep, interpret=interpret)
+
+        @pl.when(lo + n > LANES)
+        def _():
+            # Row-crossing tail: reload AFTER the first-row store so RLE
+            # sources in row r are fresh; lanes [0, f) are then valid and
+            # the same doubling covers the rest (rem < LANES since n <= 64).
+            rem = lo + n - LANES
+            qb = jnp.clip(((r + 1) * LANES - f) >> 7, -1, nru - 1)
+            mb, _ = make_m2(out_ref, qb, ph, shift)
+
+            def dbl2(state):
+                mm, it = state
+                mm = jnp.where(lane >= it, _roll(mm, it, interpret=interpret), mm)
+                return mm, it * 2
+
+            mb, _ = jax.lax.while_loop(lambda s: s[1] < rem, dbl2, (mb, f))
+            _masked_store(out_ref, r + 2, mb, lane < rem, interpret=interpret)
 
     def drain_copies(tc, okd, hzq_ref):
         def fallback(j, _):
@@ -385,15 +410,20 @@ def _decode_kernel(
             wb = cmdb_ref[0, 0, ip]
             f = wb & B_F_BITS
             n = (wb >> B_N_SHIFT) & 0x7F
-            serial_move(opv - f, opv, n)
+            hazard_move(opv - f, opv, n)
             return 0
 
-        def group(g, oks):
-            base = g * GROUP
+        def grp(g, oks):
+            base = g * group
             lead_op = cpy_op_ref[base]
+            # Load phase: all source rows read before any store (one
+            # ordering stall per group). Only the blended/rolled rows are
+            # staged as vectors — masks are rebuilt from the (cheap,
+            # register-resident) scalars in the store phase, halving the
+            # group's live vector registers vs staging keep/keep2 too.
             staged = []
             nh = jnp.int32(0)
-            for k in range(GROUP):
+            for k in range(group):
                 t = base + k
                 ip = cpy_ip_ref[t]
                 opv = cpy_op_ref[t]
@@ -416,19 +446,17 @@ def _decode_kernel(
                 # loads ran — i.e. the span reaches at or past the group
                 # leader's output position (groupmates write [lead_op, .);
                 # for the leader itself this reduces to exactly the RLE
-                # self-overlap f < n; n == 0 records have src = opv >=
-                # lead_op only via opv > lead_op... sentinels carry opv = 0,
-                # invalid copies re-run as empty serial moves — harmless).
-                # Byte-precise: sharing a ROW with a mate's store is
-                # harmless, kept lanes never use its bytes. Hazards queue
-                # branch-free and redo serially after the group's stores
-                # (in order, so chained hazards stay right).
+                # self-overlap f < n; sentinels carry opv = 0 and n == 0,
+                # never hazardous). Byte-precise: sharing a ROW with a
+                # mate's store is harmless, kept lanes never use its bytes.
+                # Hazards queue branch-free and redo serially after the
+                # group's stores (in order, so chained hazards stay right).
                 hz = src + n > lead_op
                 m, m2 = make_m2(out_ref, q0, ph, shift)
+                staged.append((t, r, lo, n, m, m2, hz))
+            for t, r, lo, n, m, m2, hz in staged:
                 keep = (lane >= lo) & (lane < lo + n)
                 keep2 = lane < lo + n - LANES
-                staged.append((t, r, m, keep, m2, keep2, hz))
-            for t, r, m, keep, m2, keep2, hz in staged:
                 _masked_store(out_ref, r + 1, m, keep, interpret=interpret)
                 _masked_store(out_ref, r + 2, m2, keep2, interpret=interpret)
                 hzq_ref[nh] = t
@@ -440,7 +468,7 @@ def _decode_kernel(
 
             return oks
 
-        oks = jax.lax.fori_loop(0, pl.cdiv(tc, GROUP), group, jnp.int32(0), unroll=False)
+        oks = jax.lax.fori_loop(0, pl.cdiv(tc, group), grp, jnp.int32(0), unroll=False)
         return okd & (oks >= 0)
 
     # ---- chunked outer loop ------------------------------------------------
@@ -464,7 +492,7 @@ def _decode_kernel(
     meta_ref[0, 0, 1] = op
 
 
-def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0):
+def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0, group: int = GROUP):
     if out_size % LANES:
         raise ValueError(f"out_size must be a multiple of {LANES}")
     cmax_padded = max(cmax_padded, COMP_PAD + 1)  # degenerate empty streams
@@ -480,6 +508,7 @@ def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0
         nru=nru,
         interpret=interpret,
         debug_mode=debug_mode,
+        group=group,
     )
 
     def fn(comp_u8: jnp.ndarray, clens: jnp.ndarray, ulens: jnp.ndarray):
@@ -522,13 +551,13 @@ def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0
                 jax.ShapeDtypeStruct((b, 1, 2), jnp.int32),
             ),
             scratch_shapes=[
-                pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
-                pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
-                pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
-                pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
-                pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
-                pltpu.SMEM((CHUNK + GROUP,), jnp.int32),
-                pltpu.SMEM((GROUP,), jnp.int32),
+                pltpu.SMEM((CHUNK + group,), jnp.int32),
+                pltpu.SMEM((CHUNK + group,), jnp.int32),
+                pltpu.SMEM((CHUNK + group,), jnp.int32),
+                pltpu.SMEM((CHUNK + group,), jnp.int32),
+                pltpu.SMEM((CHUNK + group,), jnp.int32),
+                pltpu.SMEM((CHUNK + group,), jnp.int32),
+                pltpu.SMEM((group,), jnp.int32),
             ],
             interpret=interpret,
         )(

@@ -131,7 +131,11 @@ def candidate_cmds(
     # lower bound, so takes are never wrong, only conservative.
     p1 = jnp.where(m1 > 0, m1 - jnp.where(d1 < 2048, 2, 3), -1)
     p2 = jnp.where(m2 > 0, m2 - jnp.where(d2 < 2048, 2, 3), -1)
-    use2 = p2 > p1
+    # Tie-break toward the FARTHER candidate (d2 > d1 by construction):
+    # equal profit means equal emitted bytes, but a farther source sits
+    # deeper behind the decoder's write frontier, so fewer copies hit the
+    # decode kernel's group-hazard re-run path. Free decode speed.
+    use2 = (p2 >= p1) & (m2 > 0)
     mS, dS, pS = jnp.where(use2, m2, m1), jnp.where(use2, d2, d1), jnp.maximum(p1, p2)
     # When the candidate NOT chosen is capped, its true length is unknown
     # and could beat the chosen one; hand it to the kernel to extend and

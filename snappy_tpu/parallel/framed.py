@@ -76,7 +76,9 @@ class FrameIndex:
         return self.total_len - self.block_size * (self.n_blocks - 1)
 
 
-def parse_index(frame: bytes) -> FrameIndex:
+def parse_index(frame: bytes, require_payload: bool = True) -> FrameIndex:
+    """Parse header + index. ``require_payload=False`` validates the index
+    alone (distributed readers fetch payload ranges separately)."""
     if len(frame) < _HEADER.size:
         raise CorruptInputError("frame too short")
     magic, flags, block_size, total_len, n_blocks = _HEADER.unpack_from(frame, 0)
@@ -94,25 +96,48 @@ def parse_index(frame: bytes) -> FrameIndex:
     if flags & FLAG_CRC:
         crcs = np.frombuffer(frame, np.uint32, n_blocks, off)
         off += 4 * n_blocks
-    if off + int(comp_lens.sum()) > len(frame):
+    if require_payload and off + int(comp_lens.sum()) > len(frame):
         raise CorruptInputError("frame payload truncated")
     return FrameIndex(flags, block_size, total_len, comp_lens, crcs, off)
+
+
+def build_frame_header(
+    comp_lens: list[int],
+    crcs: list[int] | None,
+    total_len: int,
+    config: FrameConfig = DEFAULT_FRAME_CONFIG,
+) -> bytes:
+    """Header + index only (no payload): what a distributed writer needs to
+    place payload slices at their byte offsets (parallel/multihost.py)."""
+    flags = FLAG_CRC if config.checksum else 0
+    parts = [
+        _HEADER.pack(MAGIC, flags, config.block_size, total_len, len(comp_lens)),
+        np.array(comp_lens, np.uint32).tobytes(),
+    ]
+    if config.checksum:
+        assert crcs is not None
+        parts.append(np.array(crcs, np.uint32).tobytes())
+    return b"".join(parts)
 
 
 def build_frame(
     block_streams: list[bytes], block_raws: list[bytes] | None, total_len: int, config: FrameConfig = DEFAULT_FRAME_CONFIG
 ) -> bytes:
     """Assemble a frame from per-block tag streams (+ raw blocks for crcs)."""
-    flags = FLAG_CRC if config.checksum else 0
-    parts = [
-        _HEADER.pack(MAGIC, flags, config.block_size, total_len, len(block_streams)),
-        np.array([len(s) for s in block_streams], np.uint32).tobytes(),
-    ]
-    if config.checksum:
-        assert block_raws is not None
-        parts.append(np.array([zlib.crc32(b) for b in block_raws], np.uint32).tobytes())
-    parts.extend(block_streams)
-    return b"".join(parts)
+    crcs = [zlib.crc32(b) for b in block_raws] if config.checksum else None
+    header = build_frame_header([len(s) for s in block_streams], crcs, total_len, config)
+    return header + b"".join(block_streams)
+
+
+def verify_crcs_range(idx: FrameIndex, blocks_out: list[bytes], first_block: int) -> None:
+    """verify_crcs for a contiguous block slice (distributed decoders check
+    only the blocks they own)."""
+    if idx.crcs is None:
+        return
+    for j, b in enumerate(blocks_out):
+        i = first_block + j
+        if zlib.crc32(b) != int(idx.crcs[i]):
+            raise CorruptInputError(f"crc mismatch in block {i}")
 
 
 def frame_to_raw(frame: bytes) -> bytes:

@@ -1,0 +1,76 @@
+"""Multi-host codec tests: a REAL 2-process jax.distributed group on CPU
+(localhost coordinator), asserting the 2-process frame and roundtrip equal
+the single-process results byte-for-byte (SURVEY.md §7 step 6)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from conftest import read_testdata
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_frame_matches_single_process(tmp_path):
+    raw = read_testdata("urls.10K") + read_testdata("html_x_4")  # ~1.1 MB, 17 blocks
+    in_path = tmp_path / "in.bin"
+    in_path.write_bytes(raw)
+
+    port = _free_port()
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": REPO,
+    }
+    env.pop("PYTHONSTARTUP", None)
+    procs = []
+    for pid in range(2):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(REPO, "tests", "multihost_worker.py"),
+                    f"127.0.0.1:{port}",
+                    "2",
+                    str(pid),
+                    str(in_path),
+                    str(tmp_path / "mh.frame"),
+                    str(tmp_path / "mh.out"),
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        logs.append(out.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log}"
+
+    # roundtrip correctness
+    assert (tmp_path / "mh.out").read_bytes() == raw
+
+    # byte equality with the single-process (4-virtual-device) frame: the
+    # frame layout is a pure function of (data, config), not of how many
+    # processes produced it.
+    import snappy_tpu
+
+    single = snappy_tpu.compress_framed(raw)
+    assert (tmp_path / "mh.frame").read_bytes() == single
+
+    # and the single-process decoder accepts the multi-host frame
+    assert snappy_tpu.uncompress_framed((tmp_path / "mh.frame").read_bytes()) == raw
