@@ -227,18 +227,30 @@ def main() -> None:
         flush=True,
     )
 
-    # ---- secondary: decode of FOREIGN streams (native host greedy encoder),
-    # the wire-parity number for arbitrary snappy input.
+    # ---- secondary: decode of a FOREIGN raw stream (native host greedy
+    # encoder, ONE stream over the whole batch), segmented exactly the way
+    # the production raw path does it (ops/host.py fast path: native
+    # scan_blocks finds the 64 KiB-output tag boundaries) — the wire-parity
+    # number for arbitrary snappy input.
     if os.environ.get("BENCH_FOREIGN", "1") != "0":
         from snappy_tpu.cpu import oracle
         from snappy_tpu.native import runtime as nat
 
-        host_enc = nat.compress if nat.available() else oracle.compress
-        foreign = []
-        for i in range(BATCH):
-            s = host_enc(raw[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE])
-            _, hdr = oracle.uncompressed_length(np.frombuffer(s, np.uint8))
-            foreign.append(s[hdr:])
+        if nat.available():
+            stream = nat.compress(raw[: BATCH * BLOCK_SIZE])
+            ulen, hdr = nat.uncompressed_length(stream)
+            body = stream[hdr:]
+            starts, oplens = nat.scan_blocks(body, ulen)
+            assert len(starts) == BATCH and (np.asarray(oplens) == BLOCK_SIZE).all()
+            bounds = list(starts) + [len(body)]
+            foreign = [body[bounds[i] : bounds[i + 1]] for i in range(len(starts))]
+        else:
+            host_enc = oracle.compress
+            foreign = []
+            for i in range(BATCH):
+                s = host_enc(raw[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE])
+                _, hdr = oracle.uncompressed_length(np.frombuffer(s, np.uint8))
+                foreign.append(s[hdr:])
         time_decode(foreign, raw, on_tpu, "foreign", metrics)
 
     # ---- streaming pipeline stage (the reference's 644 MB "large" config,

@@ -50,6 +50,11 @@ def _load():
         ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_void_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
     ]
+    lib.snappy_tpu_scan_blocks.restype = ctypes.c_int64
+    lib.snappy_tpu_scan_blocks.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+    ]
     _lib = lib
     return lib
 
@@ -114,3 +119,32 @@ def uncompress(data) -> bytes:
     out_len = ctypes.c_size_t()
     _check(lib.snappy_tpu_uncompress(buf, len(buf), out, ulen, ctypes.byref(out_len)))
     return out.raw[: out_len.value]
+
+
+def scan_blocks(body, ulen: int) -> tuple[np.ndarray, np.ndarray] | None:
+    """Segment a HEADERLESS tag stream for block-parallel decode (the
+    device fast path's prepass; tag-bytes-only walk, ~50x lighter than a
+    decode). Segments start at the first tag boundary at-or-after every
+    64 KiB of output: block-based encoders give exact 64 KiB segments,
+    non-blocking ones give [64 KiB, 128 KiB) segments. Returns
+    (starts int32[n], oplens int32[n]) — input offsets and uncompressed
+    lengths — or None when a copy's source reaches behind its segment
+    start (a true sequential dependency; caller falls back).
+
+    Raises CorruptInputError on streams whose scan proves them corrupt."""
+    lib = _load()
+    buf = _as_buffer(body)
+    cap = (-(-ulen // (1 << 16)) if ulen else 0) + 1
+    starts = np.zeros(cap, np.uint32)
+    oplens = np.zeros(cap, np.uint32)
+    rc = lib.snappy_tpu_scan_blocks(
+        buf, len(buf), ulen,
+        starts.ctypes.data_as(ctypes.c_void_p),
+        oplens.ctypes.data_as(ctypes.c_void_p),
+        cap,
+    )
+    if rc == -1:
+        return None
+    if rc < 0:
+        raise CorruptInputError("corrupt snappy stream")
+    return starts[:rc].astype(np.int32), oplens[:rc].astype(np.int32)

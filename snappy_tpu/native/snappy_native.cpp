@@ -327,4 +327,62 @@ int snappy_tpu_uncompress(const uint8_t* in, size_t n,
   return SNAPPY_TPU_OK;
 }
 
+// Scan a HEADERLESS tag stream (no output materialization) and segment it
+// for block-parallel device decode (ops/host.py fast path): a new segment
+// begins at the first TAG boundary at-or-after every 64 KiB of output
+// since the previous segment start. Block-based encoders — libsnappy, the
+// reference (src/Snappy.jl:29-33), this framework — yield exact 64 KiB
+// segments; non-blocking encoders (e.g. the alice29.snappy fixture's
+// producer) yield segments in [64 KiB, 128 KiB) wherever a tag straddles
+// the mark. The one thing that defeats segmentation is a copy whose
+// source reaches BEHIND its segment start (a true sequential dependency):
+// then -1 is returned and the caller falls back to the sequential-capable
+// decoder. The walk touches only tag bytes: memory speed, ~50x lighter
+// than a decode.
+//
+// Returns >= 0: segment count (starts[i] = input offset of segment i's
+// tags, oplens[i] = its uncompressed length); -1: not segmentable;
+// -2: corrupt.
+int64_t snappy_tpu_scan_blocks(const uint8_t* in, size_t n, uint64_t ulen,
+                               uint32_t* starts, uint32_t* oplens,
+                               size_t starts_cap) {
+  size_t ip = 0, op = 0, blk = 0, seg_start = 0;
+  while (ip + 1 < n) {
+    if (op - seg_start >= kBlockSize || blk == 0) {
+      if (op >= ulen && !(blk == 0 && ulen == 0)) return -2;
+      if (blk == starts_cap) return -2;
+      if (blk > 0) oplens[blk - 1] = static_cast<uint32_t>(op - seg_start);
+      seg_start = op;
+      starts[blk++] = static_cast<uint32_t>(ip);
+    }
+    const uint8_t c = in[ip++];
+    const uint16_t entry = kCharTable.entry[c];
+    const size_t taglen = entry >> 11;
+    uint32_t trailer;
+    if (ip + 4 <= n) {
+      trailer = Load32(in + ip) & kWordMask[taglen];
+    } else {
+      uint8_t tmp[4] = {0, 0, 0, 0};
+      std::memcpy(tmp, in + ip, n - ip);
+      trailer = Load32(tmp) & kWordMask[taglen];
+    }
+    size_t len = entry & 0xff;
+    ip += taglen;
+    if ((c & 3) != 0) {
+      const size_t offset = (entry & 0x700) + trailer;
+      if (offset == 0 || op < offset || ulen - op < len) return -2;
+      if (op - offset < seg_start) return -1;  // reaches behind the segment
+      op += len;
+    } else {
+      const size_t lit = len + trailer;
+      if (ip > n || n - ip < lit || ulen - op < lit) return -2;
+      ip += lit;
+      op += lit;
+    }
+  }
+  if (op != ulen) return -2;
+  if (blk > 0) oplens[blk - 1] = static_cast<uint32_t>(op - seg_start);
+  return static_cast<int64_t>(blk);
+}
+
 }  // extern "C"

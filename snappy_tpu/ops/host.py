@@ -38,9 +38,20 @@ def _bucket(n: int, floor: int = 256) -> int:
 
 
 def uncompress(data) -> bytes:
-    """Decode a raw Snappy stream with the parallel XLA decoder."""
+    """Decode a raw Snappy stream on device.
+
+    TPU fast path: a native tag-walk segments the stream at its 64 KiB
+    output-block boundaries (every real snappy encoder emits block-local
+    streams — reference src/Snappy.jl:29-33), then the batched Pallas
+    block decoder runs all blocks in one dispatch. Streams that defeat
+    segmentation (no native lib, or exotic boundary-crossing tags) fall
+    back to the sequential-capable XLA array decoder.
+    """
     comp = _as_np(data)
     ulen, start = varint.parse32(comp, 0)  # raises CorruptInputError
+    out = _uncompress_blocked(comp, ulen, start)
+    if out is not None:
+        return out
     nc = _bucket(len(comp))
     nu = _bucket(max(ulen, 1))
     padded = np.zeros(nc + decode_xla.COMP_PAD, dtype=np.uint8)
@@ -52,6 +63,57 @@ def uncompress(data) -> bytes:
     if not ok:
         raise CorruptInputError("corrupt snappy stream")
     return np.asarray(out[:ulen]).tobytes()
+
+
+def _uncompress_blocked(comp: np.ndarray, ulen: int, start: int) -> bytes | None:
+    """The device fast path: segment + batched block decode. Returns None
+    when unavailable (off-TPU, no native lib, non-block-local stream)."""
+    from . import select
+
+    if ulen == 0 or not select.on_tpu():
+        return None
+    try:
+        from ..native import runtime as nat
+
+        if not nat.available():
+            return None
+        scan = nat.scan_blocks(comp[start:], ulen)  # raises on corrupt
+    except ImportError:
+        return None
+    if scan is None:
+        return None
+    starts, oplens = scan
+
+    body = comp[start:]
+    n_blocks = len(starts)
+    bounds = np.concatenate([starts, [len(body)]]).astype(np.int64)
+    clens = (bounds[1:] - bounds[:-1]).astype(np.int32)
+    from ..parallel.host import _bucket_cmax
+
+    cmax = _bucket_cmax(int(clens.max()))
+    # Segments from non-blocking encoders can approach 128 KiB compressed;
+    # the decode kernel's SMEM command windows cap out below that.
+    if cmax > 96 * 1024:
+        return None
+    out_size = 1 << 16 if int(oplens.max()) <= 1 << 16 else 1 << 17
+    nb = _bucket(n_blocks)
+    blocks = np.zeros((nb, cmax + decode_xla.COMP_PAD), np.uint8)
+    for i in range(n_blocks):
+        blocks[i, : clens[i]] = body[bounds[i] : bounds[i + 1]]
+    ulens = np.zeros(nb, np.int32)
+    ulens[:n_blocks] = oplens
+    clens_p = np.zeros(nb, np.int32)
+    clens_p[:n_blocks] = clens
+    dec = select.block_decoder(cmax + decode_xla.COMP_PAD, out_size)
+    with trace_annotation("snappy.uncompress_blocked"):
+        out, ok, _ = dec(jnp.asarray(blocks), jnp.asarray(clens_p), jnp.asarray(ulens))
+        ok_np = np.asarray(ok)
+    if not bool(ok_np[:n_blocks].all()):
+        raise CorruptInputError("corrupt snappy stream")
+    out_np = np.asarray(out[:n_blocks])
+    if (oplens == out_size).all():
+        return out_np.tobytes()
+    return b"".join(out_np[i, : oplens[i]].tobytes() for i in range(n_blocks))
 
 
 def compress(data) -> bytes:

@@ -65,9 +65,10 @@ LANES = 128
 # bounds (mirrors the reference's padded 4-byte trailer read,
 # src/internal.jl:421-430).
 COMP_PAD = 4
-# Copy offsets saturate here: a 17-bit value always fails the f <= op
-# check for 64 KiB blocks, so COPY_4's wide offsets stay detectably bad.
-F_SAT = 0x1FFFF
+# Copy offsets saturate here: an 18-bit value always fails the f <= op
+# check for any supported segment (<= 128 KiB of output, ops/host.py raw
+# fast path), so COPY_4's wide offsets stay detectably bad.
+F_SAT = 0x3FFFF
 
 # Walk chunk: tags per inner fixed-count loop; record arrays hold one
 # chunk plus the 8 no-op sentinel records appended for drain over-read.
@@ -81,8 +82,8 @@ A_CX_SHIFT = 17  # bits 17-19: input advance minus the literal body
 A_LIT_SHIFT = 20  # bit 20: is-literal
 A_VALID_SHIFT = 21  # bit 21: statically valid (or padding)
 # cmdB bit layout (copy positions only)
-B_F_BITS = 0x1FFFF  # bits 0-16: offset, saturated at F_SAT
-B_N_SHIFT = 17  # bits 17-23: copy length (0 for pad/invalid)
+B_F_BITS = 0x3FFFF  # bits 0-17: offset, saturated at F_SAT
+B_N_SHIFT = 18  # bits 18-24: copy length (0 for pad/invalid)
 
 
 def parse_cmds(comp_u8: jnp.ndarray, clens: jnp.ndarray):

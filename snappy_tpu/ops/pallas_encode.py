@@ -145,7 +145,20 @@ def candidate_cmds(
     alt = jnp.where((oM == M_CAP) & (oD != dS), oD, 0)
     # Back to position order. The take decision is made pre-unsort so the
     # payload packs into two words (sort cost scales with operand count).
-    takeS = (pS >= min_profit) & (mS >= 4)
+    #
+    # Per-block adaptive thinning: min_profit > 1 trades a sliver of
+    # density for decode speed, which only pays on MATCH-RICH blocks. On
+    # barely-compressible blocks (jpeg/pdf) the dropped marginal matches
+    # are most of the savings — there the full-greed threshold keeps
+    # density at-or-above the hash-table baseline per FILE, not just in
+    # aggregate (exact candidates >= hash candidates), while costing no
+    # decode speed (such blocks have few tags either way).
+    take_lo = (pS >= 1) & (mS >= 4)
+    if min_profit > 1:
+        rich = jnp.sum(take_lo, axis=-1, keepdims=True) * 8 > jnp.maximum(blen, 1)
+        takeS = jnp.where(rich, (pS >= min_profit) & (mS >= 4), take_lo)
+    else:
+        takeS = take_lo
     packA = jnp.where(takeS, dS | (mS << 16), 0)
     _, pk, d2nd = jax.lax.sort((sp, packA, alt), dimension=-1, num_keys=1)
     d = pk & 0xFFFF
@@ -199,14 +212,29 @@ def _encode_kernel(
     def match_len(a, b_, start):
         """Length of the common prefix of input[a:] and input[b_:], given
         the first ``start`` bytes are known equal; bounded so a+len <= blen.
+        (Capping at 64 and re-matching was tried instead of emit-side
+        chunking — it loses density on repetitive data because the re-match
+        at a+64 may not see the same-distance continuation among its top-2
+        candidates; sample-tweet.json regressed 2.6%.)
+
         Scalar 4-byte word compares from SMEM: a 128-lane VMEM compare
         variant was measured 2x SLOWER overall — the per-iteration
         vector-to-scalar readback of the mismatch index costs more on the
-        scalar core than the word loop it replaces."""
+        scalar core than the word loop it replaces. Called with start=hi
+        even for prepass-exact matches: the first word compare mismatches
+        immediately (tzb 0), so the loop self-terminates in one probe and
+        no take/extend branch is needed.
+
+        Loop structure is tuned for Mosaic's expensive scalar backedges
+        (measured: the walk+extension phase dominated the whole kernel):
+        the first probe is HOISTED — a probe at a mismatch position is a
+        no-op (tzb of the xor word is 0), so non-extending takes (the
+        majority) never enter the loop at all — and each backedge runs two
+        probes (idempotent at the fixpoint), halving iterations for long
+        matches."""
         limit = blen - a
 
-        def step(state):
-            m, go = state
+        def probe(m):
             xa = load32(a + m)
             xb = load32(b_ + m)
             x = xa ^ xb
@@ -221,7 +249,13 @@ def _encode_kernel(
             add = jnp.minimum(add, limit - m)
             return m + add, eq4 & (m + add < limit) & (add == 4)
 
-        m, _ = jax.lax.while_loop(lambda s: s[1], step, (start, jnp.bool_(True)))
+        def step(state):
+            m, _ = state
+            m, _go = probe(m)
+            return probe(m)
+
+        m0, go0 = probe(start)
+        m, _ = jax.lax.while_loop(lambda s: s[1], step, (m0, go0))
         return jnp.minimum(m, limit)
 
     def _store(r, m, keep):
@@ -300,10 +334,12 @@ def _encode_kernel(
 
     def emit_copy(op, d, m):
         """Chunked copy emitter (reference src/internal.jl:289-329). The
-        long-match chunking (m > 64) is fenced behind one pl.when so the
+        long-match chunking (m > 64) is fenced behind one cond so the
         common short copy stays region-free."""
 
-        def long_tail(m_, op_):
+        def long_tail(md):
+            m_, op_ = md
+
             def chunk64(state):
                 mm, oo = state
                 oo = emit3(oo, 0x02 | (63 << 2), d & 0xFF, d >> 8, 3)
@@ -318,7 +354,7 @@ def _encode_kernel(
 
             return jax.lax.cond(m_ > 64, chunk60, lambda s: s, (m_, op_))
 
-        m, op = jax.lax.cond(m > 64, lambda s: long_tail(*s), lambda s: s, (m, op))
+        m, op = jax.lax.cond(m > 64, long_tail, lambda s: s, (m, op))
         two = (m < 12) & (d < 2048)
         b0 = jnp.where(
             two, 0x01 | ((m - 4) << 2) | ((d >> 8) << 5), 0x02 | ((m - 1) << 2)
@@ -329,59 +365,63 @@ def _encode_kernel(
     # ---- main commit walk. The prepass (candidate_cmds) already made every
     # probe/extend/profit decision vectorized (including min_profit tag
     # thinning); the scalar core only jumps between take positions and
-    # emits. This is the encode-side mirror of the decoder's walk/drain
-    # split: reference src/internal.jl:127-250's scan loop collapses to
-    # alternating jump->take steps.
-    def probe(state):
+    # emits. Loop invariant: ip IS a take position (skip commands point
+    # straight at the next take, so a skip is folded into the tail of the
+    # previous take step as one select — no skip iterations, no take/skip
+    # cond). One iteration = one emitted literal+copy pair.
+    def take_step(state):
         ip, anchor, op = state
         cd = dists_ref[0, 0, ip]
         d = cd & 0xFFFF
         hi = jax.lax.shift_right_logical(cd, 16)
+        if debug_mode == 1:
+            m = hi
+        else:
+            # Unconditional: for prepass-exact matches (hi < M_CAP) the
+            # first word compare mismatches and the loop exits with m == hi.
+            m = match_len(ip, ip - d, hi)
 
-        def skip(_):
-            # d == 0: high bits carry the next take-mode position.
-            return jnp.maximum(hi, ip + 1), anchor, op
+        # A capped runner-up candidate may extend farther than the
+        # prepass's pick — extend and keep the better (score = match
+        # bytes minus the extra byte of a far offset).
+        def contest(md):
+            m_, d_ = md
+            d2v = alt_ref[0, 0, ip]
 
-        def take(_):
-            # hi is exact below M_CAP; == M_CAP means "at least M_CAP".
-            if debug_mode == 1:
-                m = hi
-            else:
-                m = jax.lax.cond(
-                    hi >= M_CAP,
-                    lambda _: match_len(ip, ip - d, jnp.int32(M_CAP)),
-                    lambda _: hi,
-                    0,
-                )
+            def ext(_):
+                m2 = match_len(ip, ip - d2v, jnp.int32(M_CAP))
+                far2 = jnp.where(d2v >= 2048, 1, 0)
+                far1 = jnp.where(d_ >= 2048, 1, 0)
+                better = (m2 - far2) > (m_ - far1)
+                return jnp.where(better, m2, m_), jnp.where(better, d2v, d_)
 
-            # A capped runner-up candidate may extend farther than the
-            # prepass's pick — extend and keep the better (score = match
-            # bytes minus the extra byte of a far offset).
-            def contest(md):
-                m_, d_ = md
-                d2v = alt_ref[0, 0, ip]
+            return jax.lax.cond(d2v > 0, ext, lambda _: (m_, d_), 0)
 
-                def ext(_):
-                    m2 = match_len(ip, ip - d2v, jnp.int32(M_CAP))
-                    far2 = jnp.where(d2v >= 2048, 1, 0)
-                    far1 = jnp.where(d_ >= 2048, 1, 0)
-                    better = (m2 - far2) > (m_ - far1)
-                    return jnp.where(better, m2, m_), jnp.where(better, d2v, d_)
-
-                return jax.lax.cond(d2v > 0, ext, lambda _: (m_, d_), 0)
-
-            m, dd = (m, d) if debug_mode == 1 else contest((m, d))
-            lit = ip - anchor
-            if debug_mode == 2:  # walk + extension only: no emission
-                return ip + m, ip + m, op + lit + dd + m
+        m, dd = (m, d) if debug_mode == 1 else contest((m, d))
+        lit = ip - anchor
+        q = ip + m
+        if debug_mode == 2:  # walk + extension only: no emission
+            op3 = op + lit + dd + m
+        else:
             op2 = emit_literal(op, anchor, lit)  # branch-free no-op if lit == 0
             op3 = emit_copy(op2, dd, m)
-            return ip + m, ip + m, op3
+        # skip-fold: the command at the match end either IS the next take
+        # or names it (d2 == 0: high bits carry the next take position).
+        cd2 = dists_ref[0, 0, jnp.minimum(q, dists_ref.shape[2] - 1)]
+        d2 = cd2 & 0xFFFF
+        hi2 = jax.lax.shift_right_logical(cd2, 16)
+        ip_next = jnp.where(d2 != 0, q, jnp.maximum(hi2, q + 1))
+        return ip_next, q, op3
 
-        return jax.lax.cond(d != 0, take, skip, 0)
-
+    # normalize entry onto the first take position
+    cd0 = dists_ref[0, 0, 0]
+    ip0 = jnp.where(
+        (cd0 & 0xFFFF) != 0,
+        jnp.int32(0),
+        jnp.maximum(jax.lax.shift_right_logical(cd0, 16), 1),
+    )
     ip, anchor, op = jax.lax.while_loop(
-        lambda s: s[0] <= blen - 4, probe, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        lambda s: s[0] <= blen - 4, take_step, (ip0, jnp.int32(0), jnp.int32(0))
     )
 
     # tail literal (reference src/internal.jl:242-248)

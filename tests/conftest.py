@@ -13,14 +13,24 @@ import os
 # sitecustomize registers the plugin at interpreter startup — so the env
 # var alone is not enough; override the jax config as well. Tests must be
 # hermetic and fast; bench.py is what runs on the real chip.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-
+#
+# Exception: SNAPPY_TPU_TEST_TPU=1 keeps the real device so the
+# `-m tpu` compiled-kernel battery (tests/test_tpu_compiled.py) can run —
+# the driver/bench invokes it that way on hardware.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("SNAPPY_TPU_TEST_TPU", "0") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest
