@@ -253,6 +253,47 @@ def main() -> None:
                 foreign.append(s[hdr:])
         time_decode(foreign, raw, on_tpu, "foreign", metrics)
 
+    # ---- large config, device-resident kernel rate (the reference's 644 MB
+    # "large" scale, reference README.md:45). The dev setup's host<->device
+    # tunnel runs ~40 MB/s — hauling 644 MB through it measures the tunnel,
+    # not the codec (a production PCIe/ICI-attached host moves >10 GB/s) —
+    # so this stage cycles the uploaded batch through chained async
+    # dispatches to the target byte count and times pure device work. The
+    # stream_large stage below keeps the honest end-to-end-through-the-
+    # tunnel number.
+    large_bytes = int(os.environ.get("BENCH_LARGE_BYTES", 64 << 20))
+    if on_tpu and large_bytes > 0 and enc_streams is not None:
+        cmax_l, comp_l, clens_l = pack_streams(enc_streams, pallas_decode.COMP_PAD)
+        dec_l = pallas_decode.decode_blocks_jit(cmax_l, BLOCK_SIZE)
+        dcomp_l = jax.device_put(comp_l)
+        dclens_l = jax.device_put(clens_l)
+        dulens_l = jax.device_put(np.full(BATCH, BLOCK_SIZE, np.int32))
+        loops = -(-large_bytes // (BATCH * BLOCK_SIZE))
+        out = dec_l(dcomp_l, dclens_l, dulens_l)
+        fence(out)  # warm
+        t0 = time.perf_counter()
+        for _ in range(loops):
+            out = dec_l(dcomp_l, dclens_l, dulens_l)
+        fence(out)
+        t_dec = time.perf_counter() - t0
+        gbps_dec = loops * BATCH * BLOCK_SIZE / t_dec / 1e9
+
+        t0 = time.perf_counter()
+        for _ in range(loops):
+            oute = enc(dbuf0, dlens0)
+        fence(oute)
+        t_enc = time.perf_counter() - t0
+        gbps_enc = loops * BATCH * BLOCK_SIZE / t_enc / 1e9
+        metrics.add(
+            stage="large_device",
+            bytes=loops * BATCH * BLOCK_SIZE,
+            compress_gbps=gbps_enc,
+            uncompress_gbps=gbps_dec,
+            uncompress_roofline_frac=gbps_dec * 1.5 / HBM_GBPS,
+            note="device-resident kernel rate: corpus batch cycled to the "
+            "target size via chained dispatches (dev tunnel excluded)",
+        )
+
     # ---- streaming pipeline stage (the reference's 644 MB "large" config,
     # reference README.md:45): frames through parallel/streaming.py with
     # read/compute/write overlap. Default 64 MiB per driver run; set
@@ -290,6 +331,25 @@ def main() -> None:
             blocks_per_frame=BATCH,
             retries=streaming.last_stats.get("retries", 0),
         )
+
+    # ---- scaling model (from the committed virtual-mesh artifact; see
+    # benchmarks/scaling.py for why raw virtual-mesh efficiency is
+    # timesharing noise and the collective share is the honest metric).
+    scal_path = os.path.join(REPO, "benchmarks", "scaling_last.json")
+    if os.path.exists(scal_path):
+        try:
+            with open(scal_path) as f:
+                scal = json.load(f)
+            coll = scal.get("collective", {})
+            if "model_scaling_efficiency" in coll:
+                metrics.add(
+                    stage="scaling_model",
+                    collective_share=coll.get("collective_share"),
+                    model_scaling_efficiency=coll.get("model_scaling_efficiency"),
+                    source="benchmarks/scaling_last.json",
+                )
+        except Exception:
+            pass
 
     os.makedirs(os.path.join(REPO, "benchmarks"), exist_ok=True)
     metrics.dump(os.path.join(REPO, "benchmarks", "report_last.json"))

@@ -33,14 +33,15 @@ class CodecConfig:
     # it saves at least this many bytes over staying literal. 1 reproduces
     # the reference's take-anything greed; higher values thin the tag
     # stream — the TPU decoder is tag-bound, so fewer, longer tags decode
-    # faster. Measured on the corpus: 3 cuts tags ~18% vs 2 while keeping
-    # density ~5% better than real libsnappy (the bench density gate);
-    # 4 lands within noise of the gate, so 3 is the default. The active
-    # value reaches the device encoder via FrameConfig.min_profit (framed
-    # path) or an explicit ``min_profit=`` argument to
-    # ops.select.block_encoder; DEFAULT_MIN_PROFIT below is the shared
-    # default both read.
-    min_profit: int = 3
+    # faster. 2 is the highest value whose emitted size stays <= the native
+    # hash-table greedy on EVERY corpus file (the per-file density gate in
+    # tests/test_tpu_compiled.py; at 3, short-match-rich files — kppkn.gtb,
+    # the random word corpora — and fireworks.jpeg lose to it), so 2 is the
+    # default. The active value reaches the device encoder via
+    # FrameConfig.min_profit (framed path) or an explicit ``min_profit=``
+    # argument to ops.select.block_encoder; DEFAULT_MIN_PROFIT below is the
+    # shared default both read.
+    min_profit: int = 2
 
     def __post_init__(self) -> None:
         if not 1 <= self.block_size <= 1 << 16:

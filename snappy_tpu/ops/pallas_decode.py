@@ -73,7 +73,7 @@ F_SAT = 0x3FFFF
 # Walk chunk: tags per inner fixed-count loop; record arrays hold one
 # chunk plus the 8 no-op sentinel records appended for drain over-read.
 CHUNK = 1024
-WALK_UNROLL = 8
+WALK_UNROLL = 16  # tags per walk backedge (Mosaic backedges are expensive)
 GROUP = 16  # copy-drain batch width
 
 # cmdA bit layout (per byte position)
@@ -197,7 +197,7 @@ def _decode_kernel(
     cmda_ref,  # SMEM (1, 1, NCP) int32
     cmdb_ref,  # SMEM (1, 1, NCP) int32
     comp_ref,  # VMEM (1, NRC+3, LANES) int32: bytes one-per-lane, row-offset 1
-    out_ref,  # VMEM (1, NRU+3, LANES) int32: bytes one-per-lane, row-offset 1
+    out_ref,  # VMEM (1, NRU+8, LANES) int32: bytes one-per-lane, row-offset 1
     meta_ref,  # SMEM (1, 1, 2) int32: [ok, produced]
     lit_src_ref,  # SMEM scratch (CAP,) int32: literal body comp address
     lit_op_ref,  # SMEM scratch (CAP,) int32
@@ -229,12 +229,16 @@ def _decode_kernel(
     def row(ref, q):
         return ref[0, q + 1, :].reshape(1, LANES)
 
-    # Deterministic output (masked stores leave untouched lanes).
+    # Deterministic output (masked stores leave untouched lanes). 8-row
+    # tiles: one store issue covers 8 rows, and the backedge count drops
+    # 8x (nru+8 is a multiple of 8 by construction in _build).
+    zero_tile = jnp.zeros((8, LANES), jnp.int32)
+
     def zrow(i, _):
-        out_ref[0, i, :] = zero_row.reshape(LANES)
+        out_ref[0, pl.ds(i * 8, 8), :] = zero_tile
         return 0
 
-    jax.lax.fori_loop(0, nru + 3, zrow, 0, unroll=False)
+    jax.lax.fori_loop(0, (nru + 8) // 8, zrow, 0, unroll=False)
 
     # ---- generic row movers ------------------------------------------------
     def make_m2(src_ref, q0c, ph, shift):
@@ -321,12 +325,12 @@ def _decode_kernel(
             return nq + long.astype(jnp.int32)
 
         def body(g, nq):
-            base = g * 4
-            for k in range(4):
+            base = g * 8
+            for k in range(8):
                 nq = one(base + k, nq)
             return nq
 
-        nq = jax.lax.fori_loop(0, pl.cdiv(tl, 4), body, jnp.int32(0), unroll=False)
+        nq = jax.lax.fori_loop(0, pl.cdiv(tl, 8), body, jnp.int32(0), unroll=False)
 
         def finish(j, _):
             t = ovf_t_ref[j]
@@ -544,11 +548,11 @@ def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0
                 pl.BlockSpec((1, nrc + 3, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((1, nru + 3, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nru + 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((b, nru + 3, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((b, nru + 8, LANES), jnp.int32),
                 jax.ShapeDtypeStruct((b, 1, 2), jnp.int32),
             ),
             scratch_shapes=[

@@ -113,7 +113,14 @@ def candidate_cmds(
         pad_b = jnp.zeros((b, k), jnp.bool_)
         pad_i = jnp.zeros((b, k), jnp.int32)
         pad_w = jnp.zeros((b, k), jnp.uint32)
-        same = jnp.concatenate([pad_b, sv[..., k:] == sv[..., :-k]], axis=-1)
+        # Unusable (tail-pad) positions all carry the sentinel key; they
+        # must not pair with each other (fake candidates — harmless after
+        # the tail clamp, but thousands of dead take commands per short
+        # block inflate the skip chain for nothing).
+        same = jnp.concatenate(
+            [pad_b, (sv[..., k:] == sv[..., :-k]) & (sv[..., k:] != jnp.uint32(0xFFFFFFFF))],
+            axis=-1,
+        )
         dist = sp - jnp.concatenate([pad_i, sp[..., :-k]], axis=-1)
         x = sw ^ jnp.concatenate([pad_w, sw[..., :-k]], axis=-1)
         mb = jnp.where(
@@ -146,19 +153,7 @@ def candidate_cmds(
     # Back to position order. The take decision is made pre-unsort so the
     # payload packs into two words (sort cost scales with operand count).
     #
-    # Per-block adaptive thinning: min_profit > 1 trades a sliver of
-    # density for decode speed, which only pays on MATCH-RICH blocks. On
-    # barely-compressible blocks (jpeg/pdf) the dropped marginal matches
-    # are most of the savings — there the full-greed threshold keeps
-    # density at-or-above the hash-table baseline per FILE, not just in
-    # aggregate (exact candidates >= hash candidates), while costing no
-    # decode speed (such blocks have few tags either way).
-    take_lo = (pS >= 1) & (mS >= 4)
-    if min_profit > 1:
-        rich = jnp.sum(take_lo, axis=-1, keepdims=True) * 8 > jnp.maximum(blen, 1)
-        takeS = jnp.where(rich, (pS >= min_profit) & (mS >= 4), take_lo)
-    else:
-        takeS = take_lo
+    takeS = (pS >= min_profit) & (mS >= 4)
     packA = jnp.where(takeS, dS | (mS << 16), 0)
     _, pk, d2nd = jax.lax.sort((sp, packA, alt), dimension=-1, num_keys=1)
     d = pk & 0xFFFF
@@ -184,7 +179,7 @@ def _roll(vec, shift, *, interpret: bool):
 
 def _encode_kernel(
     blen_ref,  # SMEM (1, 1, 1) int32
-    words_ref,  # SMEM (1, 1, NW) int32: input bytes packed LE 4-per-word
+    le32_ref,  # SMEM (1, 1, NL) int32: LE u32 at EVERY byte position
     dists_ref,  # SMEM (1, 1, N) int32: parse commands (see candidate_cmds)
     alt_ref,  # SMEM (1, 1, N) int32: capped runner-up distances (0 = none)
     inp_ref,  # VMEM (1, NRI, LANES) int32: input bytes one-per-lane
@@ -201,13 +196,11 @@ def _encode_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
     def load32(p):
-        """LE uint32 at byte p (bit-identical in int32 arithmetic)."""
-        w0 = words_ref[0, 0, p >> 2]
-        w1 = words_ref[0, 0, (p >> 2) + 1]
-        sh = (p & 3) * 8
-        lo = jax.lax.shift_right_logical(w0, sh)
-        hi = jnp.where(sh == 0, 0, jax.lax.shift_left(w1, (32 - sh) & 31))
-        return lo | hi
+        """LE uint32 at byte p: ONE scalar load. The per-byte word table is
+        built by the XLA prepass at vector rate; the old packed-word layout
+        cost ~8 scalar ops per unaligned load, and the match loop does two
+        loads per probe — this is where the walk's cycles went."""
+        return le32_ref[0, 0, p]
 
     def match_len(a, b_, start):
         """Length of the common prefix of input[a:] and input[b_:], given
@@ -446,10 +439,18 @@ def _build(block_size: int, interpret: bool, min_profit: int = 1, debug_mode: in
         b = blocks_u8.shape[0]
         assert blocks_u8.shape[1] == n + ENC_PAD
         cmds, alt = candidate_cmds(blocks_u8, blens, min_profit)
-        nw = (n + ENC_PAD) // 4
-        words = jax.lax.bitcast_convert_type(
-            blocks_u8.reshape(b, nw, 4), jnp.int32
-        ).reshape(b, 1, nw)
+        # LE u32 at every byte position p in [0, n+4): match probes index up
+        # to p == blen <= n. Same arithmetic as candidate_cmds' word_at(0)
+        # (XLA CSEs the shared subgraph); padded to a lane-aligned width.
+        ci = blocks_u8.astype(jnp.uint32)
+        nl = n + LANES
+        le32 = (
+            ci[..., : n + 4]
+            | (ci[..., 1 : n + 5] << 8)
+            | (ci[..., 2 : n + 6] << 16)
+            | (ci[..., 3 : n + 7] << 24)
+        ).astype(jnp.int32)
+        le32 = jnp.pad(le32, ((0, 0), (0, nl - (n + 4)))).reshape(b, 1, nl)
         pad = nri * LANES - blocks_u8.shape[1]
         inp_i32 = jnp.pad(blocks_u8, ((0, 0), (0, pad))).astype(jnp.int32).reshape(b, nri, LANES)
         out_rows, meta = pl.pallas_call(
@@ -457,7 +458,10 @@ def _build(block_size: int, interpret: bool, min_profit: int = 1, debug_mode: in
             grid=(b,),
             in_specs=[
                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, nw), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, 1, nl), lambda i: (i, 0, 0), memory_space=pltpu.SMEM,
+                    pipeline_mode=pl.Buffered(buffer_count=1),
+                ),
                 # The two 256 KiB command windows are single-buffered to fit
                 # the 1 MiB SMEM; the lost DMA overlap is negligible vs the
                 # per-block walk time.
@@ -480,7 +484,7 @@ def _build(block_size: int, interpret: bool, min_profit: int = 1, debug_mode: in
                 jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
             ),
             interpret=interpret,
-        )(blens.reshape(b, 1, 1), words, cmds.reshape(b, 1, n), alt.reshape(b, 1, n), inp_i32)
+        )(blens.reshape(b, 1, 1), le32, cmds.reshape(b, 1, n), alt.reshape(b, 1, n), inp_i32)
         out = out_rows.reshape(b, nro * LANES)[:, :BLOCK_MAX_OUT].astype(jnp.uint8)
         return out, meta.reshape(b)
 
