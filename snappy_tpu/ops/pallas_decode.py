@@ -33,13 +33,15 @@ Structure per block (grid step):
   per record; spans crossing an output row take a predicated second store;
   >128-byte literals take a row loop (rare: 0.1% on the corpus).
 
-  COPY DRAIN (ordered): groups of GROUP (16) — all loads, then all masked stores,
-  paying the ref-ordering stall once per group (fact 3). Self-overlapping
-  (RLE, reference src/internal.jl:469-509) and near copies whose sources
-  row-overlap a groupmate's destination re-run serially after the group's
-  stores via a growing-step sub-move loop (doubling for RLE). Destination
-  monotonicity makes the hazard test one compare against the group
-  leader's output row.
+  COPY DRAIN (ordered): groups of GROUP (16) — all loads, then all masked
+  stores, paying the ref-ordering stall once per group (fact 3); only the
+  blended source rows are staged as vectors (masks rebuild from scalars at
+  store time, halving live vregs). Records whose source reaches at-or-past
+  the group leader's output position re-run after the group's stores as a
+  ONE-SHOT reload+store (everything below their destination is
+  materialized by then); self-overlapping RLE records (reference
+  src/internal.jl:469-509) extend the reloaded period in-register by
+  lane-doubling rolls, so even an f=1 run pays the reload stall once.
 
 Literals drain before copies within a chunk, so copy sources (strictly
 older output) are always materialized: literal bytes by the literal pass,

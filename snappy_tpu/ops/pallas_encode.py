@@ -14,9 +14,11 @@ Counterpart of pallas_decode.py, replacing the reference's scalar scan
     also computed in this prepass by carrying the next-4-bytes word
     through the sort (reference's emit cost model,
     src/internal.jl:289-329).
-  - the COMMIT WALK on the scalar core only jumps between profitable
-    positions (skip table) and emits; matches past M_CAP extend by
-    4-byte SMEM word compares (scalar — see match_len for why not vector).
+  - the COMMIT WALK on the scalar core visits ONLY take positions (skip
+    commands point straight at the next take, folded into the previous
+    step's tail — no skip iterations, no take/skip branch) and emits;
+    matches past M_CAP extend by word compares against a prepass-built
+    LE32-at-every-byte SMEM table (one load per probe word).
   - EMISSION writes tag bytes as masked row blends and literal bodies as
     128-lane row moves with one dynamic lane roll (same mover as the
     decoder), into a VMEM-resident output block; all stores are masked
@@ -390,11 +392,15 @@ def _encode_kernel(
 
             return jax.lax.cond(d2v > 0, ext, lambda _: (m_, d_), 0)
 
-        m, dd = (m, d) if debug_mode == 1 else contest((m, d))
+        m, dd = (m, d) if debug_mode in (1, 3, 4) else contest((m, d))
         lit = ip - anchor
         q = ip + m
-        if debug_mode == 2:  # walk + extension only: no emission
+        if debug_mode in (2, 4):  # walk + extension only: no emission
             op3 = op + lit + dd + m
+        elif debug_mode == 3:  # no contest, full emission (timing only:
+            # density differs slightly from the production parse)
+            op2 = emit_literal(op, anchor, lit)
+            op3 = emit_copy(op2, dd, m)
         else:
             op2 = emit_literal(op, anchor, lit)  # branch-free no-op if lit == 0
             op3 = emit_copy(op2, dd, m)

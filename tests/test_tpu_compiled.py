@@ -106,8 +106,8 @@ def test_compiled_full_corpus_roundtrip_and_density():
     names = [
         "alice29.txt", "asyoulik.txt", "html", "html_x_4", "urls.10K",
         "fireworks.jpeg", "paper-100k.pdf", "lcet10.txt", "plrabn12.txt",
-        "geo.protodata", "kppkn.gtb", "sample-tweet.json", "cp.html",
-        "fields.c", "grammar.lsp", "xargs.1",
+        "geo.protodata", "kppkn.gtb", "sample-tweet.json", "random1.bin",
+        "random2.bin", "random3.bin", "smallrandom1.bin",
     ]
     enc = pallas_encode.encode_blocks_jit(BLOCK_SIZE, False, DEFAULT_MIN_PROFIT)
     dec = pallas_decode.decode_blocks_jit(66048, BLOCK_SIZE, False)
