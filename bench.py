@@ -81,7 +81,7 @@ def fence(x) -> None:
     _ = np.asarray(leaf.reshape(-1)[:1])
 
 
-def time_dispatch(fn, args, iters: int = 5) -> float:
+def time_dispatch(fn, args, iters: int = 7) -> float:
     """Min seconds of one large dispatch, fence cost subtracted.
 
     The fence itself costs ~25 ms on the tunnelled device — comparable to

@@ -128,8 +128,14 @@ def main() -> None:
             o, ok, _ = d(dc, dl, du)
             assert bool(np.asarray(ok).all()), f"{name}: device decode flagged corrupt"
             assert np.asarray(o).tobytes() == blocks.tobytes(), f"{name}: decode mismatch"
-            row["dev_compress"] = BATCH * BLOCK_SIZE / time_dispatch(enc, (dbuf, dlens), iters=3)
-            row["dev_uncompress"] = BATCH * BLOCK_SIZE / time_dispatch(d, (dc, dl, du), iters=3)
+            t_enc_d = time_dispatch(enc, (dbuf, dlens), iters=3)
+            t_dec_d = time_dispatch(d, (dc, dl, du), iters=3)
+            # below ~3 ms the tunnelled fence calibration noise dominates
+            # (few-tag blocks like jpeg decode faster than we can measure
+            # here): floor the time so the table shows a bound, not noise.
+            row["dev_compress"] = BATCH * BLOCK_SIZE / max(t_enc_d, 3e-3)
+            row["dev_uncompress"] = BATCH * BLOCK_SIZE / max(t_dec_d, 3e-3)
+            row["fence_bound"] = t_dec_d < 3e-3 or t_enc_d < 3e-3
         rows.append(row)
         print(f"{label}: {row}", flush=True)
 

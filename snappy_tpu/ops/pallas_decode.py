@@ -67,32 +67,40 @@ LANES = 128
 # bounds (mirrors the reference's padded 4-byte trailer read,
 # src/internal.jl:421-430).
 COMP_PAD = 4
-# Copy offsets saturate here: an 18-bit value always fails the f <= op
-# check for any supported segment (<= 128 KiB of output, ops/host.py raw
-# fast path), so COPY_4's wide offsets stay detectably bad.
-F_SAT = 0x3FFFF
-
 # Walk chunk: tags per inner fixed-count loop; record arrays hold one
 # chunk plus the 8 no-op sentinel records appended for drain over-read.
 CHUNK = 1024
 WALK_UNROLL = 16  # tags per walk backedge (Mosaic backedges are expensive)
 GROUP = 16  # copy-drain batch width
 
-# cmdA bit layout (per byte position)
-A_LEN_BITS = 0x1FFFF  # bits 0-16: output length (0 for pad/invalid)
+# Unified per-position command word (ONE int32 per byte position — halves
+# the per-block SMEM command DMA vs the old cmdA/cmdB pair). Class bits
+# live at fixed positions; the payload layout is class-dependent:
+#   literal: bits 0-16 output length (<= 65536)
+#   copy:    bits 0-15 offset f (valid copies never exceed 65535: a wider
+#            offset cannot satisfy f <= op inside a <= 64 KiB block, and
+#            the raw-path segmenter declines streams that would need one —
+#            so such positions parse as INVALID, which keeps corrupt
+#            COPY_4 offsets detectably bad); bits 20-26 copy length
+# shared:  bits 17-19 input advance minus the literal body (cx);
+#          bit 29 is-literal; bit 30 statically-valid (or padding);
+#          bit 31 real (a position inside the stream — pads clear it so
+#          record counters freeze once a walk runs past its stream end).
+A_LEN_BITS = 0x1FFFF  # literal: bits 0-16 output length (0 for pad/invalid)
+C_F_BITS = 0xFFFF  # copy: bits 0-15 offset
 A_CX_SHIFT = 17  # bits 17-19: input advance minus the literal body
-A_LIT_SHIFT = 20  # bit 20: is-literal
-A_VALID_SHIFT = 21  # bit 21: statically valid (or padding)
-# cmdB bit layout (copy positions only)
-B_F_BITS = 0x3FFFF  # bits 0-17: offset, saturated at F_SAT
-B_N_SHIFT = 18  # bits 18-24: copy length (0 for pad/invalid)
+C_N_SHIFT = 20  # copy: bits 20-26 length (0 for pad/invalid/literal)
+A_LIT_SHIFT = 29  # bit 29: is-literal
+A_VALID_SHIFT = 30  # bit 30: statically valid (or padding)
+A_REAL_SHIFT = 31  # bit 31: real in-stream position
 
 
 def parse_cmds(comp_u8: jnp.ndarray, clens: jnp.ndarray):
     """Candidate-tag parse at every byte position, word-aligned.
 
     comp_u8: uint8[B, C] with C % 4 == 0 and >= COMP_PAD zero slack after
-    every stream; clens: int32[B]. Returns (cmdA, cmdB) int32[B, C].
+    every stream; clens: int32[B]. Returns one unified command word per
+    position, int32[B, C] (layout at the top of this module).
 
     All arithmetic is elementwise on the uint32 word view plus ONE
     shift-by-one-word concat; byte positions p = 4q + r are handled as four
@@ -121,7 +129,8 @@ def parse_cmds(comp_u8: jnp.ndarray, clens: jnp.ndarray):
     qpos = jax.lax.broadcasted_iota(jnp.int32, (b, nw), 1) * 4
     clen = clens.astype(jnp.int32)[:, None]
 
-    outs_a, outs_b = [], []
+    outs_a = []
+    real_bit = jnp.int32(-(1 << 31))  # bit 31 as an int32 constant
     for r in range(4):
         cc, b1, b2, b3, b4 = c0[r], c1[r], c2[r], c3[r], c4[r]
         pos = qpos + r
@@ -152,29 +161,27 @@ def parse_cmds(comp_u8: jnp.ndarray, clens: jnp.ndarray):
             (((hi6 >> 3) & 7).astype(jnp.uint32) << 8) | b1,
             jnp.where(kind == 2, b1 | (b2 << 8), b1 | (b2 << 8) | (b3 << 16) | (b4 << 24)),
         )
-        f = jnp.minimum(f_raw, jnp.uint32(F_SAT)).astype(jnp.int32)
+        f = jnp.minimum(f_raw, jnp.uint32(C_F_BITS)).astype(jnp.int32)
 
         valid_lit = (pos + cons_lit <= clen) & ~poison
-        valid_copy = (pos + 1 + taglen <= clen) & (f > 0)
+        # Offsets above 65535 can never satisfy f <= op in a supported
+        # block/segment (see the layout comment): mark INVALID so corrupt
+        # COPY_4 offsets stay detectably bad without carrying wide fields.
+        valid_copy = (pos + 1 + taglen <= clen) & (f_raw > 0) & (f_raw <= jnp.uint32(C_F_BITS))
         valid = jnp.where(is_copy, valid_copy, valid_lit)
 
-        length = jnp.where(is_copy, cp_len, lit_len)
         cx = jnp.where(is_copy, 1 + taglen, 1 + extra)
-        word_a = (
-            length
-            | (cx << A_CX_SHIFT)
+        flags = (
+            (cx << A_CX_SHIFT)
             | (jnp.where(is_copy, 0, 1) << A_LIT_SHIFT)
             | (1 << A_VALID_SHIFT)
-        )
-        word_b = f | (cp_len << B_N_SHIFT)
+        ) | real_bit
+        word = jnp.where(is_copy, f | (cp_len << C_N_SHIFT), lit_len) | flags
 
         pad = pos >= clen
-        outs_a.append(jnp.where(pad, 1 << A_VALID_SHIFT, jnp.where(valid, word_a, 0)))
-        outs_b.append(jnp.where(pad | ~valid | ~is_copy, 0, word_b))
+        outs_a.append(jnp.where(pad, 1 << A_VALID_SHIFT, jnp.where(valid, word, 0)))
 
-    cmd_a = jnp.stack(outs_a, axis=-1).reshape(b, c)
-    cmd_b = jnp.stack(outs_b, axis=-1).reshape(b, c)
-    return cmd_a, cmd_b
+    return jnp.stack(outs_a, axis=-1).reshape(b, c)
 
 
 def _roll(vec, shift, *, interpret: bool):
@@ -196,8 +203,7 @@ def _masked_store(ref, row_idx, m, keep, *, interpret: bool):
 def _decode_kernel(
     clen_ref,  # SMEM (1, 1, 1) int32
     ulen_ref,  # SMEM (1, 1, 1) int32
-    cmda_ref,  # SMEM (1, 1, NCP) int32
-    cmdb_ref,  # SMEM (1, 1, NCP) int32
+    cmd_ref,  # SMEM (1, 1, NCP) int32: unified command words
     comp_ref,  # VMEM (1, NRC+3, LANES) int32: bytes one-per-lane, row-offset 1
     out_ref,  # VMEM (1, NRU+8, LANES) int32: bytes one-per-lane, row-offset 1
     meta_ref,  # SMEM (1, 1, 2) int32: [ok, produced]
@@ -264,19 +270,22 @@ def _decode_kernel(
 
         def step(state):
             ip, op, okw, tl, tc = state
-            v = cmda_ref[0, 0, ip]
+            v = cmd_ref[0, 0, ip]
             a = ip + ((v >> A_CX_SHIFT) & 7)  # literal body / copy successor
-            length = v & A_LEN_BITS
+            lit = (v >> A_LIT_SHIFT) & 1
+            length = jnp.where(lit == 1, v & A_LEN_BITS, (v >> C_N_SHIFT) & 0x7F)
+            rl = jax.lax.shift_right_logical(v, A_REAL_SHIFT)
             lit_src_ref[tl] = a
             lit_op_ref[tl] = op
             lit_n_ref[tl] = length
             cpy_ip_ref[tc] = ip
             cpy_op_ref[tc] = op
-            lit = (v >> A_LIT_SHIFT) & 1
             okw &= v
             ip = a + lit * length
             op = op + length
-            return ip, op, okw, tl + lit, tc + (1 - lit)
+            # real-bit gate: once the walk runs past its stream end (pads)
+            # the counters freeze, so drains never see dead records.
+            return ip, op, okw, tl + (lit & rl), tc + (rl & (1 - lit))
 
         def body(i, state):
             for _ in range(WALK_UNROLL):
@@ -287,7 +296,7 @@ def _decode_kernel(
             0, CHUNK // WALK_UNROLL, body, (ip, op, okw, jnp.int32(0), jnp.int32(0))
         )
         # sentinels so drains may over-read a partial tail group
-        sentinel = ncp - 1  # past-the-stream: cmdB there is 0 (n=0 no-op)
+        sentinel = ncp - 1  # past-the-stream: pad word there has n=0 (no-op)
         for j in range(group):
             lit_src_ref[tl + j] = sentinel
             lit_op_ref[tl + j] = 0
@@ -414,9 +423,9 @@ def _decode_kernel(
             t = hzq_ref[j]
             ip = cpy_ip_ref[t]
             opv = cpy_op_ref[t]
-            wb = cmdb_ref[0, 0, ip]
-            f = wb & B_F_BITS
-            n = (wb >> B_N_SHIFT) & 0x7F
+            wb = cmd_ref[0, 0, ip]
+            f = wb & C_F_BITS
+            n = (wb >> C_N_SHIFT) & 0x7F
             hazard_move(opv - f, opv, n)
             return 0
 
@@ -434,9 +443,9 @@ def _decode_kernel(
                 t = base + k
                 ip = cpy_ip_ref[t]
                 opv = cpy_op_ref[t]
-                wb = cmdb_ref[0, 0, ip]
-                f = wb & B_F_BITS
-                n = (wb >> B_N_SHIFT) & 0x7F
+                wb = cmd_ref[0, 0, ip]
+                f = wb & C_F_BITS
+                n = (wb >> C_N_SHIFT) & 0x7F
                 src = opv - f
                 # validity (src >= 0) accumulates as a sign-bit OR; records
                 # with n == 0 (sentinels/invalid) have f == 0, src = opv >= 0,
@@ -523,7 +532,7 @@ def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0
         if comp_u8.shape[1] < ncp:
             comp_u8 = jnp.pad(comp_u8, ((0, 0), (0, ncp - comp_u8.shape[1])))
         comp_u8 = comp_u8[:, :ncp]
-        cmda, cmdb = parse_cmds(comp_u8, clens)
+        cmds = parse_cmds(comp_u8, clens)
         comp_i32 = comp_u8.astype(jnp.int32).reshape(b, nrc, LANES)
         comp_i32 = jnp.pad(comp_i32, ((0, 0), (1, 2), (0, 0)))  # guard rows
         out_rows, meta = pl.pallas_call(
@@ -532,15 +541,9 @@ def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0
             in_specs=[
                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-                # single-buffered: two double-buffered 258 KiB windows would
-                # blow the 1 MiB SMEM; the lost DMA overlap is negligible
-                # next to the per-block walk/drain time.
-                pl.BlockSpec(
-                    (1, 1, ncp),
-                    lambda i: (i, 0, 0),
-                    memory_space=pltpu.SMEM,
-                    pipeline_mode=pl.Buffered(buffer_count=1),
-                ),
+                # single-buffered: a double-buffered window at wide cmax
+                # would crowd the 1 MiB SMEM; the lost DMA overlap is
+                # negligible next to the per-block walk/drain time.
                 pl.BlockSpec(
                     (1, 1, ncp),
                     lambda i: (i, 0, 0),
@@ -570,8 +573,7 @@ def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0
         )(
             clens.reshape(b, 1, 1).astype(jnp.int32),
             ulens.reshape(b, 1, 1).astype(jnp.int32),
-            cmda.reshape(b, 1, ncp),
-            cmdb.reshape(b, 1, ncp),
+            cmds.reshape(b, 1, ncp),
             comp_i32,
         )
         out = out_rows[:, 1 : nru + 1, :].reshape(b, out_size).astype(jnp.uint8)

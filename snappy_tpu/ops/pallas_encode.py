@@ -27,6 +27,16 @@ Counterpart of pallas_decode.py, replacing the reference's scalar scan
 
 Blocks are independent (reference src/Snappy.jl:29-33): grid = one step
 per 64 KiB block, inputs/outputs double-buffered by Pallas.
+
+Measured cost anatomy (v5e, elimination battery /tmp-profiled round 3;
+128-block corpus batch at min_profit=2): walk+extension 85 ms, +emission
+~30 ms, contest ~free, prepass 24 ms. The walk runs ~122 cycles/take
+against ~30 scalar ops — it is LATENCY-bound on its serially dependent
+SMEM load chain (cmd load -> probe loads -> successor cmd load), not
+issue-bound. The known fix is interleaving 2-4 independent blocks' walks
+in one grid step so each chain's load latency hides under the others'
+arithmetic; blocks would pair by prepass take counts (device-side argsort)
+to bound tail waste. Left for the next round — it touches every ref shape.
 """
 
 from __future__ import annotations
