@@ -33,10 +33,13 @@ Measured cost anatomy (v5e, elimination battery /tmp-profiled round 3;
 ~30 ms, contest ~free, prepass 24 ms. The walk runs ~122 cycles/take
 against ~30 scalar ops — it is LATENCY-bound on its serially dependent
 SMEM load chain (cmd load -> probe loads -> successor cmd load), not
-issue-bound. The known fix is interleaving 2-4 independent blocks' walks
-in one grid step so each chain's load latency hides under the others'
-arithmetic; blocks would pair by prepass take counts (device-side argsort)
-to bound tail waste. Left for the next round — it touches every ref shape.
+issue-bound — or so the op count suggests. A dual-block interleaved
+variant of the DECODER walk (two independent chains per grid step,
+clen-paired) was built and measured SLOWER (43 vs 39 ms), so simple
+chain-interleaving does not recover the gap: either Mosaic serializes the
+interleaved scalar streams anyway, or the cost sits in per-access
+machinery (dynamic-index bounds sequences) rather than raw load latency.
+Next investigation: inspect the Mosaic asm for the walk loop.
 """
 
 from __future__ import annotations
