@@ -15,11 +15,12 @@ three measured v5e facts (benchmarks/profile_alias.py, profile_drains.py):
 Structure per block (grid step):
 
   PREPASS (XLA, vector): every byte position is decoded as a candidate tag
-  into two packed words — cmdA = output length | input advance | is-literal
-  | statically-checkable validity (bounds, offset!=0, oversize literal:
-  reference src/internal.jl:493-518), cmdB = copy offset | copy length.
-  Word-aligned arithmetic only (one single-element shift), because
-  byte-shifted slices at lane granularity relayout at scalar speed on TPU.
+  into ONE packed command word — output length / copy offset+length,
+  input advance, is-literal, statically-checkable validity (bounds,
+  offset!=0, oversize literal: reference src/internal.jl:493-518); layout
+  at the constants below. Word-aligned arithmetic only (one
+  single-element shift), because byte-shifted slices at lane granularity
+  relayout at scalar speed on TPU.
 
   WALK (scalar): fixed-count unrolled chunks over cmdA; per tag it stores
   an (ip, op) record into the literal or copy class array (branch-free
