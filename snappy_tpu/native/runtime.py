@@ -147,4 +147,7 @@ def scan_blocks(body, ulen: int) -> tuple[np.ndarray, np.ndarray] | None:
         return None
     if rc < 0:
         raise CorruptInputError("corrupt snappy stream")
-    return starts[:rc].astype(np.int32), oplens[:rc].astype(np.int32)
+    # int64: input offsets of a >= 2 GiB compressed body overflow int32
+    # (ulen may legally approach 2**32), and the caller does int64 bounds
+    # arithmetic on these.
+    return starts[:rc].astype(np.int64), oplens[:rc].astype(np.int32)

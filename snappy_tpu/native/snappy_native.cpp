@@ -372,10 +372,17 @@ int64_t snappy_tpu_scan_blocks(const uint8_t* in, size_t n, uint64_t ulen,
       const size_t offset = (entry & 0x700) + trailer;
       if (offset == 0 || op < offset || ulen - op < len) return -2;
       if (op - offset < seg_start) return -1;  // reaches behind the segment
+      // Valid but unrepresentable in the Pallas kernel's 16-bit offset
+      // field (COPY_4 with a wide offset): decline so the caller falls
+      // back — the scan's contract must match the kernel's field widths.
+      if (offset > 0xffff) return -1;
       op += len;
     } else {
       const size_t lit = len + trailer;
       if (ip > n || n - ip < lit || ulen - op < lit) return -2;
+      // Valid long literal (> 64 KiB) exceeds the kernel's 17-bit literal
+      // length field: decline, don't let the kernel flag it corrupt.
+      if (lit > 0x10000) return -1;
       ip += lit;
       op += lit;
     }

@@ -22,6 +22,15 @@ Call :func:`initialize` once per process before using these drivers
 (wraps jax.distributed.initialize; works across real pods and localhost
 CPU process groups alike — tests/test_multihost.py runs exactly this with
 two CPU processes and asserts byte equality with the single-process frame).
+
+**Filesystem requirement:** ``in_path``/``out_path`` must live on a
+filesystem shared by ALL processes (NFS/GCS-fuse/parallel FS — the normal
+pod arrangement, and what the localhost tests use). Each process pwrites
+only its own slice; on per-host local disks every host would end up with
+a silently incomplete file. Process 0 verifies the assembled frame's size
+(and readable index) after the final barrier and raises otherwise, which
+turns that misconfiguration into a loud error on shared storage and at
+least one failing process otherwise.
 """
 
 from __future__ import annotations
@@ -68,6 +77,14 @@ def _my_block_range(nb_padded: int, mesh) -> tuple[int, int]:
     per_dev = nb_padded // n_dev
     devs = list(mesh.devices.reshape(-1))
     mine = [i for i, d in enumerate(devs) if d.process_index == jax.process_index()]
+    if max(mine) - min(mine) + 1 != len(mine):
+        # Non-contiguous device enumeration would silently claim other
+        # processes' blocks and desynchronize file I/O from the sharding.
+        raise RuntimeError(
+            "multihost drivers require each process's devices to be "
+            f"contiguous in mesh order; process {jax.process_index()} owns "
+            f"mesh positions {mine}"
+        )
     return min(mine) * per_dev, (max(mine) + 1) * per_dev
 
 
@@ -147,6 +164,18 @@ def compress_framed(
     finally:
         os.close(fd)
     multihost_utils.sync_global_devices("snappy_tpu.multihost.compress")
+    if jax.process_index() == 0:
+        # Post-write verification (after the barrier, so every process has
+        # written): the assembled frame must be complete and parseable.
+        # Catches the non-shared-filesystem misconfiguration loudly.
+        if os.path.getsize(out_path) != frame_size:
+            raise RuntimeError(
+                f"assembled frame {out_path} is {os.path.getsize(out_path)} "
+                f"bytes, expected {frame_size}: are all processes writing "
+                "to the same (shared) filesystem?"
+            )
+        with open(out_path, "rb") as vf:
+            framed.parse_index(vf.read(len(header)), require_payload=False)
     return frame_size
 
 

@@ -163,3 +163,19 @@ def test_raw_fast_path_native_stream():
 
     s = nat.compress(raw) if nat.available() else oracle.compress(raw)
     assert xh.uncompress(s) == raw
+
+
+def test_raw_fast_path_long_literal_falls_back():
+    """Valid streams outside the kernel's envelope (a >64 KiB literal, a
+    COPY_4 offset > 65535) must fall back to the sequential XLA decoder,
+    not raise (round-3 bug: ops/host.py raised on the kernel's nak)."""
+    from snappy_tpu.ops import host as xh
+
+    rng = np.random.RandomState(3)
+    big = rng.randint(0, 256, 70_000).astype(np.uint8).tobytes()
+    body = bytes([62 << 2]) + (len(big) - 1).to_bytes(3, "little") + big
+    # wide-offset COPY_4 referencing bytes 69000 back
+    body += bytes([(63 << 2) | 3]) + (69_000).to_bytes(4, "little")
+    expect = big + big[1000:1064]
+    stream = varint.encode32(len(expect)) + body
+    assert xh.uncompress(stream) == expect
