@@ -239,3 +239,166 @@ def decode_blocks_jit(cmax_padded: int, out_size: int):
         return decode_blocks(comp_blocks, clens, ulens, out_size)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Windowed raw-stream fallback: bounded memory for arbitrarily large streams.
+# ---------------------------------------------------------------------------
+
+# Whole-stream decode above this compressed size would build orbit/searchsorted
+# intermediates proportional to the stream (the B=1 arrays above); beyond it
+# the host driver decodes fixed windows sequentially with carried output.
+RAW_WHOLE_LIMIT = 4 << 20
+WINDOW_C = 1 << 20  # compressed bytes scanned per window
+WINDOW_U = (1 << 20) + (1 << 17)  # output bytes materialized per window
+
+
+def _window_pass(comp_w: jnp.ndarray, wc, obase, window_u: int):
+    """Decode one window of a raw tag stream (B=1, bounded shapes).
+
+    comp_w: uint8[WINDOW_C + COMP_PAD] — the stream's bytes from the
+    current tag position; wc: valid bytes of that slice; obase: absolute
+    output position of the window's first tag. Decodes every tag that
+    BOTH ends within the window and keeps cumulative output <= window_u.
+
+    Returns (vals, srcs, hist, produced, consumed, ok):
+      vals  int32[window_u]: literal bytes for in-window literal output
+      srcs  int32[window_u]: ABSOLUTE source position after chasing the
+            in-window copy chains; entries < obase point into already-
+            materialized output (the host resolves them with one fancy
+            index); entries >= obase are literal self-fixpoints.
+      hist  bool[window_u]: srcs points into history
+      produced, consumed: bytes of output / input this window covers
+      ok: corruption flag for the decoded prefix
+    """
+    nc = WINDOW_C
+    comp2 = comp_w[None, :]
+    pos = jnp.arange(nc, dtype=jnp.int32)[None, :]
+    t = parse_all_positions(comp2, nc + window_u + 16)
+
+    nxt = jnp.minimum(pos + t["consumed"], nc)
+    tags = tag_orbit(jnp.zeros(1, jnp.int32), nxt, nc // 2 + 2)
+    tags_c = jnp.minimum(tags, nc - 1)
+
+    def tf(arr, fill=0):
+        return jnp.where(tags < nc, _take(arr, tags_c), fill)
+
+    t_out = tf(t["out_len"])
+    t_cons = tf(t["consumed"])
+    t_copy = tf(t["is_copy"].astype(jnp.int32)) > 0
+    t_off = tf(t["offset"])
+    t_taglen = tf(t["taglen"])
+    t_lit = tf(t["lit_len"])
+
+    # keep tags fully inside [0, wc) whose cumulative output fits window_u
+    topos = exclusive_cumsum(t_out)
+    keep = (tags + t_cons <= wc) & (tags < wc - 1) & (topos + t_out <= window_u)
+    # the kept set must be a prefix of the chain: cummin of keep
+    keep = jnp.cumprod(keep.astype(jnp.int32), axis=-1) > 0
+    produced = jnp.sum(jnp.where(keep, t_out, 0), axis=-1)[0]
+    consumed = jnp.max(jnp.where(keep, tags + t_cons, 0), axis=-1)[0]
+
+    # corruption checks on the kept prefix (absolute output coordinates)
+    abs_topos = topos + obase
+    bad_copy = (t_off == 0) | (abs_topos < t_off)
+    bad_lit = tags + 1 + t_taglen + t_lit > wc
+    bad = keep & jnp.where(t_copy, bad_copy, bad_lit)
+    ok = jnp.logical_not(jnp.any(bad, axis=-1))[0]
+
+    # materialize window output positions
+    big = jnp.int32(window_u + nc + 32)
+    key = jnp.where(keep, topos, big)
+    oi = jnp.arange(window_u, dtype=jnp.int32)[None, :]
+    tagidx = jax.vmap(lambda k, q: jnp.searchsorted(k, q, side="right"))(key, oi).astype(jnp.int32)
+    tagidx = jnp.clip(tagidx - 1, 0, tags.shape[-1] - 1)
+    o_opos = _take(topos, tagidx)
+    o_copy = _take(t_copy.astype(jnp.int32), tagidx) > 0
+    o_off = _take(t_off, tagidx)
+    o_litsrc = _take(tags_c + 1 + t_taglen, tagidx)
+    delta = oi - o_opos
+    lit_idx = jnp.clip(o_litsrc + delta, 0, nc + COMP_PAD - 1)
+    vals = _take(comp2.astype(jnp.int32), lit_idx)
+
+    # absolute source positions; in-window chase with history absorbing
+    src = jnp.where(o_copy, oi + obase - o_off, oi + obase)
+
+    def body(_, s):
+        rel = s - obase
+        hist = rel < 0
+        chased = _take(s, jnp.clip(rel, 0, window_u - 1))
+        return jnp.where(hist, s, chased)
+
+    src_fix = jax.lax.fori_loop(0, ceil_log2(window_u + 1), body, src)
+    hist = src_fix < obase
+    return vals[0], src_fix[0], hist[0], produced, consumed, ok
+
+
+@functools.lru_cache(maxsize=2)
+def _window_pass_jit(window_u: int):
+    return jax.jit(functools.partial(_window_pass, window_u=window_u))
+
+
+def decode_raw_windowed(comp, ulen: int, start: int) -> bytes:
+    """Sequential windowed decode of one raw stream with bounded memory.
+
+    The whole-stream program above builds O(stream) orbit/searchsorted
+    intermediates — fine to ~RAW_WHOLE_LIMIT, ruinous at hundreds of MB.
+    This driver scans WINDOW_C-byte windows of the tag stream, carries the
+    materialized output (copies may reference arbitrarily far back:
+    reference src/internal.jl:28-30), and handles the one tag shape a
+    window cannot (a literal whose body exceeds the window) as a direct
+    host copy. Memory: O(WINDOW_C + WINDOW_U + ulen).
+    """
+    import numpy as np
+
+    from ..core.errors import CorruptInputError
+
+    comp = np.asarray(comp, np.uint8)
+    out = np.empty(ulen, np.uint8)
+    fn = _window_pass_jit(WINDOW_U)
+    p, o = start, 0
+    clen = len(comp)
+    while p < clen and o < ulen:
+        wc = min(WINDOW_C, clen - p)
+        win = np.zeros(WINDOW_C + COMP_PAD, np.uint8)
+        win[:wc] = comp[p : p + wc]
+        vals, srcs, hist, produced, consumed, ok = fn(
+            jnp.asarray(win), jnp.int32(wc), jnp.int32(o)
+        )
+        produced = int(produced)
+        consumed = int(consumed)
+        if not bool(ok):
+            raise CorruptInputError("corrupt snappy stream")
+        if consumed == 0 or produced == 0:
+            # No tag fit the window: either a giant literal (stream its
+            # body host-side) or corruption.
+            c = int(comp[p])
+            if (c & 3) != 0:
+                raise CorruptInputError("corrupt snappy stream")
+            extra = max((c >> 2) - 59, 0)
+            if extra == 0 or p + 1 + extra > clen:
+                raise CorruptInputError("corrupt snappy stream")
+            lit = int.from_bytes(comp[p + 1 : p + 1 + extra].tobytes(), "little") + 1
+            body = p + 1 + extra
+            if body + lit > clen or o + lit > ulen:
+                raise CorruptInputError("corrupt snappy stream")
+            out[o : o + lit] = comp[body : body + lit]
+            p = body + lit
+            o += lit
+            continue
+        if o + produced > ulen:
+            raise CorruptInputError("corrupt snappy stream")
+        vals = np.asarray(vals)
+        srcs = np.asarray(srcs)[:produced]
+        hist = np.asarray(hist)[:produced]
+        # history entries index finalized output; in-window entries resolve
+        # to the literal byte at their chased fixpoint position
+        hidx = np.clip(srcs, 0, max(o - 1, 0))
+        widx = np.clip(srcs - o, 0, WINDOW_U - 1)
+        winout = np.where(hist, out[hidx], vals[widx]).astype(np.uint8)
+        out[o : o + produced] = winout
+        p += consumed
+        o += produced
+    if o != ulen or p != clen:
+        raise CorruptInputError("corrupt snappy stream")
+    return out.tobytes()

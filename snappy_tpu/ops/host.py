@@ -52,6 +52,12 @@ def uncompress(data) -> bytes:
     out = _uncompress_blocked(comp, ulen, start)
     if out is not None:
         return out
+    if len(comp) > decode_xla.RAW_WHOLE_LIMIT:
+        # Large raw stream without a usable segmentation: the whole-stream
+        # XLA program would build O(stream) orbit intermediates; decode in
+        # bounded windows with carried output instead.
+        with trace_annotation("snappy.uncompress_windowed"):
+            return decode_xla.decode_raw_windowed(comp, ulen, start)
     nc = _bucket(len(comp))
     nu = _bucket(max(ulen, 1))
     padded = np.zeros(nc + decode_xla.COMP_PAD, dtype=np.uint8)

@@ -3,7 +3,7 @@
 The snappy tag stream is a serial chain (reference src/internal.jl:411-466:
 each tag's length determines where the next begins), so one scalar-core
 walk per 64 KiB block is unavoidable. Everything else is arranged around
-three measured v5e facts (benchmarks/profile_alias.py, profile_drains.py):
+three measured v5e facts (benchmarks/NEGATIVE_RESULTS.md):
 
   1. A minimal SMEM walk runs at ~9 cycles/tag; every extra field decode
      in the walk costs issue slots on the single scalar unit.
