@@ -146,3 +146,143 @@ def compress_file(in_path: str, out_path: str, **kw) -> int:
 def uncompress_file(in_path: str, out_path: str, **kw) -> int:
     with open(in_path, "rb") as src, open(out_path, "wb") as dst:
         return uncompress_stream(src, dst, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Resume-after-kill (SURVEY.md §5 checkpoint/resume): the frame sequence IS
+# the checkpoint. Frames are self-delimiting and written in order, so after
+# a crash the durable prefix of complete frames is recoverable by scanning,
+# and work restarts from the first missing/torn frame — blocks are
+# stateless and idempotent, so re-doing a torn frame is always safe.
+# ---------------------------------------------------------------------------
+
+
+def scan_durable_frames(path: str) -> tuple[int, int, int]:
+    """Scan a (possibly torn) frame-sequence file.
+
+    Returns (durable_bytes, n_frames, covered_output_bytes): the byte
+    length of the longest prefix of COMPLETE frames, how many frames it
+    holds, and how many uncompressed bytes they cover. A torn tail (from a
+    crash mid-write) is simply not counted. Raises CorruptInputError only
+    on a malformed COMPLETE prefix (bad magic with a full header present).
+    """
+    durable = frames = covered = 0
+    try:
+        with open(path, "rb") as f:
+            while True:
+                head = f.read(framed._HEADER.size)
+                if len(head) < framed._HEADER.size:
+                    break
+                magic, flags, block_size, total_len, n_blocks = framed._HEADER.unpack(head)
+                if magic != framed.MAGIC:
+                    raise framed.CorruptInputError("bad frame magic in stream")
+                index_bytes = 4 * n_blocks * (2 if flags & framed.FLAG_CRC else 1)
+                index = f.read(index_bytes)
+                if len(index) < index_bytes:
+                    break
+                payload_bytes = int(np.frombuffer(index, np.uint32, n_blocks).sum())
+                payload = f.read(payload_bytes)
+                if len(payload) < payload_bytes:
+                    break
+                durable += framed._HEADER.size + index_bytes + payload_bytes
+                frames += 1
+                covered += total_len
+    except FileNotFoundError:
+        pass
+    return durable, frames, covered
+
+
+def resume_compress_file(
+    in_path: str,
+    out_path: str,
+    config: FrameConfig = DEFAULT_FRAME_CONFIG,
+    mesh=None,
+    blocks_per_frame: int = DEFAULT_BLOCKS_PER_FRAME,
+) -> int:
+    """Compress ``in_path`` to a frame sequence at ``out_path``, resuming
+    from the last durable frame if a previous run died mid-stream.
+
+    Returns the total compressed size. Restartable any number of times;
+    a clean first run is just the empty-resume case."""
+    import os
+
+    durable, _, covered = scan_durable_frames(out_path)
+    chunk = blocks_per_frame * config.block_size
+    if covered % chunk:
+        # the durable prefix must end on a full frame's input boundary
+        # (only the LAST frame of a finished stream may be short); a short
+        # frame mid-prefix means the previous run finished — verify below.
+        in_size = os.path.getsize(in_path)
+        if covered == in_size:
+            return durable
+        # partial progress with a short frame: drop that frame too
+        raise framed.CorruptInputError("torn frame sequence: short mid-stream frame")
+    with open(in_path, "rb") as src:
+        src.seek(covered)
+        fd = os.open(out_path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            os.ftruncate(fd, durable)
+        finally:
+            os.close(fd)
+        with open(out_path, "r+b") as dst:
+            dst.seek(durable)
+            written = compress_stream(
+                src, dst, config=config, mesh=mesh, blocks_per_frame=blocks_per_frame
+            )
+    return durable + written
+
+
+def resume_uncompress_file(in_path: str, out_path: str, mesh=None, **kw) -> int:
+    """Decode a frame-sequence file, resuming after a kill.
+
+    Progress marker is the OUTPUT file itself: frames decode in order and
+    append, so a crash leaves a (possibly torn) prefix; resume truncates
+    to the last whole-frame boundary and decodes the remaining frames.
+    Returns total uncompressed bytes."""
+    import os
+
+    done = 0  # durable output bytes
+    try:
+        out_size = os.path.getsize(out_path)
+    except FileNotFoundError:
+        out_size = 0
+
+    with open(in_path, "rb") as src:
+        # walk the frame sequence to find the resume point
+        skip_frames = 0
+        covered = 0
+        for frame in iter_frames(src):
+            tl = framed._HEADER.unpack_from(frame, 0)[3]
+            if covered + tl <= out_size:
+                covered += tl
+                skip_frames += 1
+            else:
+                break
+        done = covered
+
+    fd = os.open(out_path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        os.ftruncate(fd, done)
+    finally:
+        os.close(fd)
+
+    total = done
+    with open(in_path, "rb") as src, open(out_path, "r+b") as dst:
+        it = iter_frames(src)
+        for _ in range(skip_frames):
+            next(it)
+        dst.seek(done)
+        pending: deque = deque()
+        eof = False
+        while not eof or pending:
+            if not eof:
+                frame = next(it, None)
+                if frame is None:
+                    eof = True
+                else:
+                    pending.append(_host.dispatch_uncompress(frame, mesh=mesh))
+            while pending and (len(pending) > PIPELINE_DEPTH or eof):
+                out = _host.assemble_uncompress(pending.popleft())
+                dst.write(out)
+                total += len(out)
+    return total

@@ -122,3 +122,66 @@ def test_torn_stream_raises():
         with pytest.raises(CorruptInputError):
             out = io.BytesIO()
             streaming.uncompress_stream(io.BytesIO(data[:cut]), out)
+
+
+class TestKillAndResume:
+    """Checkpoint/resume (SURVEY.md §5): the frame sequence is the
+    checkpoint; a killed run restarts from the last durable frame."""
+
+    def _mkdata(self, n=5 * (1 << 16) + 777):
+        rng = np.random.RandomState(11)
+        words = [bytes(rng.randint(0, 256, rng.randint(4, 17))) for _ in range(64)]
+        return b"".join(words[rng.randint(0, 64)] for _ in range(n // 8))[:n]
+
+    def test_resume_compress_after_torn_tail(self, tmp_path):
+        raw = self._mkdata()
+        src = tmp_path / "in.bin"
+        src.write_bytes(raw)
+        ref = tmp_path / "ref.snpf"
+        streaming.compress_file(str(src), str(ref), blocks_per_frame=2)
+        full = ref.read_bytes()
+
+        for cut_frac in (0.25, 0.6, 0.97):
+            out = tmp_path / f"out{cut_frac}.snpf"
+            out.write_bytes(full[: int(len(full) * cut_frac)])  # the "kill"
+            size = streaming.resume_compress_file(str(src), str(out), blocks_per_frame=2)
+            assert size == len(full)
+            assert out.read_bytes() == full
+
+    def test_resume_compress_from_scratch_and_idempotent(self, tmp_path):
+        raw = self._mkdata()
+        src = tmp_path / "in.bin"
+        src.write_bytes(raw)
+        out = tmp_path / "out.snpf"
+        s1 = streaming.resume_compress_file(str(src), str(out), blocks_per_frame=2)
+        first = out.read_bytes()
+        s2 = streaming.resume_compress_file(str(src), str(out), blocks_per_frame=2)
+        assert (s1, first) == (s2, out.read_bytes())
+
+    def test_resume_uncompress_after_torn_output(self, tmp_path):
+        raw = self._mkdata()
+        src = tmp_path / "in.bin"
+        src.write_bytes(raw)
+        comp = tmp_path / "c.snpf"
+        streaming.compress_file(str(src), str(comp), blocks_per_frame=2)
+
+        for cut in (0, 100, 3 * (1 << 16) + 5, len(raw) - 3):
+            out = tmp_path / f"o{cut}.bin"
+            out.write_bytes(raw[:cut])  # torn output prefix from a kill
+            n = streaming.resume_uncompress_file(str(comp), str(out))
+            assert n == len(raw)
+            assert out.read_bytes() == raw
+
+    def test_scan_durable_frames_counts(self, tmp_path):
+        raw = self._mkdata()
+        src = tmp_path / "in.bin"
+        src.write_bytes(raw)
+        comp = tmp_path / "c.snpf"
+        streaming.compress_file(str(src), str(comp), blocks_per_frame=2)
+        full = comp.read_bytes()
+        durable, nf, covered = streaming.scan_durable_frames(str(comp))
+        assert durable == len(full) and covered == len(raw) and nf == 3
+        # torn tail: drop 1 byte -> last frame not durable
+        comp.write_bytes(full[:-1])
+        d2, nf2, c2 = streaming.scan_durable_frames(str(comp))
+        assert nf2 == 2 and d2 < len(full) and c2 == 4 * (1 << 16)
