@@ -51,6 +51,22 @@ earlier copy bytes in order by the copy pass itself.
 Blocks are independent (reference src/Snappy.jl:29-33): grid = one step
 per block; Pallas double-buffers the HBM<->VMEM block DMAs. Bit-exactness
 vs the CPU oracle across the corpus: tests/test_pallas_decode.py.
+
+Cost account (v5e, round-4 audit). The measured scalar-core cost model
+(benchmarks/exp_vector_walk.py E7) is: dependent SMEM load ~6 cyc,
+lax.cond ~5 cyc, loop backedges ~free, and serial load chains cannot be
+overlapped by unrolling. The walk's recurrence is ONE dependent SMEM
+load (the unified command word) plus ~3 ALU on the address path — i.e.
+the measured 9.1 cyc/tag IS the latency floor of the serial tag chain;
+the remaining ~18 walk ops per tag (Mosaic IR: 1 load, 5 stores, ~16
+ALU) dual-issue underneath it. The drains (7.9 lit / 11.5 copy cyc/tag)
+are vector-issue bound with no serial recurrence. Every vectorization
+escape hatch was measured and is 1-2 orders of magnitude off what it
+would need (lane dynamic_gather ~85 cyc, one-hot reduce-select ~85 cyc,
+8-records-per-tile staging ~200 cyc/record, XLA gathers ~0.09 Gelem/s:
+benchmarks/NEGATIVE_RESULTS.md) — on this hardware the per-record
+scalar-issue architecture is the right one, and its ceiling is set by
+records/byte of the stream.
 """
 
 from __future__ import annotations

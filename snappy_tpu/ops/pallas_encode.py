@@ -28,18 +28,34 @@ Counterpart of pallas_decode.py, replacing the reference's scalar scan
 Blocks are independent (reference src/Snappy.jl:29-33): grid = one step
 per 64 KiB block, inputs/outputs double-buffered by Pallas.
 
-Measured cost anatomy (v5e, elimination battery /tmp-profiled round 3;
-128-block corpus batch at min_profit=2): walk+extension 85 ms, +emission
-~30 ms, contest ~free, prepass 24 ms. The walk runs ~122 cycles/take
-against ~30 scalar ops — it is LATENCY-bound on its serially dependent
-SMEM load chain (cmd load -> probe loads -> successor cmd load), not
-issue-bound — or so the op count suggests. A dual-block interleaved
-variant of the DECODER walk (two independent chains per grid step,
-clen-paired) was built and measured SLOWER (43 vs 39 ms), so simple
-chain-interleaving does not recover the gap: either Mosaic serializes the
-interleaved scalar streams anyway, or the cost sits in per-access
-machinery (dynamic-index bounds sequences) rather than raw load latency.
-Next investigation: inspect the Mosaic asm for the walk loop.
+Measured cost anatomy (v5e, round 4; 128-block corpus batch at
+min_profit=2; scalar-core cost model from benchmarks/exp_vector_walk.py
+E7: a dependent SMEM load costs ~6 cyc, a lax.cond ~5 cyc, loop backedges
+are ~free, and a truly serial load chain cannot be overlapped by
+unrolling — only independent work can):
+
+  prepass (XLA)      ~30 ms   two kv-sorts ~24 + suffix-min hops scan ~6
+  take chain         ~24 ms   ~18 cyc/take: ONE dependent SMEM load (the
+                              hops word carries the next take's d/m and a
+                              12-bit delta) + hop-loop cond + ~8 ALU.
+                              Round 3 paid ~2 serial loads + 2 conds here
+                              (~122 cyc/take incl. extension): the hops
+                              repack + skip-fold removal is a measured
+                              ~2x on the walk phase (85 -> ~43 ms).
+  match extension    ~13 ms   hoisted word probe + rare while iterations
+  contest            ~0-5 ms  one cond per take; probes only when the
+                              runner-up was capped
+  emission           ~57 ms   ~45 cyc/take: tag emitters + body mover,
+                              vector-issue bound; the big round-4 cut was
+                              predicating the whole literal emitter
+                              behind pl.when(lit > 0) (back-to-back copy
+                              takes previously issued ~26 empty-mask ops)
+  total              ~113 ms  (was ~139 ms round 3)
+
+The residual chain cost is latency-floor-bound: the next take's address
+depends on the current take's loaded word, so the ~6-cyc load plus its
+dependent ALU cannot be hidden (unrolling was measured a no-op at U=4
+vs U=8, and the round-3 dual-block interleave experiment was SLOWER).
 """
 
 from __future__ import annotations
@@ -70,6 +86,11 @@ BLOCK_MAX_OUT = max_compressed_length(BLOCK_SIZE)
 # matches scalar (they are profitable by construction, so extension work is
 # never wasted).
 M_CAP = 8
+# Take steps per walk backedge: lets Mosaic overlap one take's dependent
+# SMEM load chain (~6 cyc/load, non-overlapping across backedges — the
+# measured E7 cost model) with its neighbors'. Trailing steps past the
+# last take freeze branch-free.
+UNROLL_TAKES = 4
 
 
 def candidate_cmds(
@@ -176,9 +197,40 @@ def candidate_cmds(
     m = jnp.minimum(pk >> 16, blen - pos)
     take = (d != 0) & (m >= 4)
     idx = jnp.where(take, pos, n)
-    nxt = jnp.flip(jax.lax.cummin(jnp.flip(idx, axis=-1), axis=1), axis=-1)
-    cmds = jnp.where(take, d | (m << 16), jnp.minimum(nxt, 0xFFFF) << 16)
-    return cmds, jnp.where(take, d2nd, 0)
+    # Pack, at EVERY position p, everything the walk needs about the next
+    # take at-or-after p into ONE word: [delta:12][m-4:3][d:16], where
+    # delta = position of that take minus p, saturated at 0xFFF (the walk
+    # hops 0xFFF and re-reads; "no more takes" forces 0xFFF so hops run
+    # off the block). This keeps the walk's serial recurrence at a SINGLE
+    # dependent SMEM load per take — the measured per-load latency is
+    # ~6 cyc and the old skip-fold chain paid two of them back-to-back.
+    # The payload rides a reverse min-by-position scan (a take_along_axis
+    # gather here costs ~90 ms per 128-block batch — TPU gathers at this
+    # shape run at scalar rate). Hand-rolled log-doubling suffix-min with
+    # a carried payload: 17 rounds of shift+select, all elementwise
+    # (lax.associative_scan lowers to a pathologically slow compile here).
+    # Rounds stop at the 0xFFF delta saturation horizon: positions with no
+    # take within 4095 bytes read as "hop" either way, so suffix-min
+    # coverage past 4096 buys nothing (the walk's hop loop re-reads).
+    take_pay = d | ((m - 4) << 16)  # valid at take positions
+    nxt, pay_at_next = idx, take_pay
+    sh = 1
+    while sh < 0x1000:
+        ii2 = jnp.concatenate(
+            [nxt[..., sh:], jnp.full(nxt.shape[:-1] + (sh,), n, jnp.int32)], axis=-1
+        )
+        pp2 = jnp.concatenate(
+            [pay_at_next[..., sh:], jnp.zeros(nxt.shape[:-1] + (sh,), jnp.int32)], axis=-1
+        )
+        t = nxt <= ii2
+        nxt = jnp.where(t, nxt, ii2)
+        pay_at_next = jnp.where(t, pay_at_next, pp2)
+        sh <<= 1
+    delta = jnp.minimum(nxt - pos, 0xFFF)
+    hops = jnp.where(
+        nxt >= n, jnp.int32(0xFFF) << 20, pay_at_next | (delta << 20)
+    )
+    return hops, jnp.where(take, d2nd, 0)
 
 
 # --------------------------------------------------------------------------
@@ -206,6 +258,10 @@ def _encode_kernel(
     interpret: bool,
     debug_mode: int = 0,  # 1: truncate matches at M_CAP (timing diagnostics
     # only — output is NOT a valid parse of comparable density)
+    # 2: walk+extension+contest, no emission; 3: no contest, full emission;
+    # 4: walk+extension, no contest/emission; 5: pure take chain (m = hi,
+    # no extension/contest/emission; meta counts takes)
+    unroll: int = UNROLL_TAKES,
 ):
     blen = blen_ref[0, 0, 0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -269,13 +325,15 @@ def _encode_kernel(
     def _store(r, m, keep):
         """Masked store: never loads out_ref, so emission cannot hit the
         load-after-store ordering stall (every output byte in [0, op) is
-        written exactly once, so no read-modify-write is needed)."""
-        rc = jnp.clip(r, 0, nro - 1)
+        written exactly once, so no read-modify-write is needed). No row
+        clamp: op <= BLOCK_MAX_OUT by the format's output bound (reference
+        src/Snappy.jl:80-82) and the buffer carries one extra row, so
+        r and r+1 are in range by construction."""
         if interpret:
-            cur = out_ref[0, rc, :].reshape(1, LANES)
-            out_ref[0, rc, :] = jnp.where(keep, m, cur).reshape(LANES)
+            cur = out_ref[0, r, :].reshape(1, LANES)
+            out_ref[0, r, :] = jnp.where(keep, m, cur).reshape(LANES)
         else:
-            pltpu.store(out_ref.at[0, rc, :], m.reshape(LANES), mask=keep.reshape(LANES))
+            pltpu.store(out_ref.at[0, r, :], m.reshape(LANES), mask=keep.reshape(LANES))
 
     # ---- emission helpers. op is threaded explicitly (refs close over).
     def emit3(op, b0, b1, b2, cnt):
@@ -287,10 +345,15 @@ def _encode_kernel(
         )
         keep = (lane >= l0) & (lane < l0 + cnt)
         _store(r, patch, keep)
-        # branch-free second-row store: empty mask unless the tag crosses
-        patch2 = jnp.where(lane == l0 + 1 - LANES, b1, jnp.where(lane == l0 + 2 - LANES, b2, 0))
-        keep2 = lane < l0 + cnt - LANES
-        _store(r + 1, patch2, keep2)
+
+        # ~2% of tags cross a row boundary; predicate the second store
+        @pl.when(l0 + cnt > LANES)
+        def _():
+            patch2 = jnp.where(
+                lane == l0 + 1 - LANES, b1, jnp.where(lane == l0 + 2 - LANES, b2, 0)
+            )
+            _store(r + 1, patch2, lane < l0 + cnt - LANES)
+
         return op + cnt
 
     def move_body(s, o, length):
@@ -312,11 +375,16 @@ def _encode_kernel(
             b_ = inp_ref[0, jnp.clip(qr + 1, 0, nri - 1), :].reshape(1, LANES)
             return _roll(jnp.where(lane >= ph, a, b_), shift, interpret=interpret)
 
-        # hot path: first two rows, second store masks empty if not crossed
+        # hot path: one row; ~15% of literals cross into a second row and
+        # take the predicated region (cheaper than issuing the second
+        # span+store with an empty mask every time)
         m0 = span(r0 * LANES - d)
         _store(r0, m0, (lane >= lo) & (lane < lo + length))
-        m1 = span((r0 + 1) * LANES - d)
-        _store(r0 + 1, m1, lane < lo + length - LANES)
+
+        @pl.when(lo + length > LANES)
+        def _():
+            m1 = span((r0 + 1) * LANES - d)
+            _store(r0 + 1, m1, lane < lo + length - LANES)
 
         @pl.when(r1 > r0 + 1)
         def _():
@@ -330,20 +398,29 @@ def _encode_kernel(
 
     def emit_literal(op, src, length):
         """Literal tag (reference src/internal.jl:252-287) + body move.
-        Branch-free no-op for length == 0 (hl == 0 gives every store an
-        empty mask), so callers need no region around the pending-literal
-        check."""
+
+        The store work is fenced behind ONE pl.when(length > 0): back-to-
+        back copy takes (lit == 0 — a large share of takes on match-rich
+        data) previously issued the full ~26-op tag+move sequence with
+        empty masks; a predicated region costs ~5 cyc instead (measured
+        cond cost, benchmarks/exp_vector_walk.py E7). The advanced output
+        position is computed branch-free outside the region."""
         nm1 = length - 1
         hl = jnp.where(nm1 < 0, 0, jnp.where(nm1 < 60, 1, jnp.where(nm1 < 256, 2, 3)))
         b0 = jnp.where(nm1 < 60, nm1 << 2, jnp.where(nm1 < 256, 60 << 2, 61 << 2))
-        op = emit3(op, b0, nm1 & 0xFF, nm1 >> 8, hl)
-        move_body(src, op, length)
-        return op + length
 
-    def emit_copy(op, d, m):
+        @pl.when(length > 0)
+        def _():
+            opt = emit3(op, b0, nm1 & 0xFF, nm1 >> 8, hl)
+            move_body(src, opt, length)
+
+        return op + hl + length
+
+    def emit_copy(op, d, m, live):
         """Chunked copy emitter (reference src/internal.jl:289-329). The
         long-match chunking (m > 64) is fenced behind one cond so the
-        common short copy stays region-free."""
+        common short copy stays region-free. ``live`` gates the tag store
+        (frozen unrolled steps emit nothing; see the walk below)."""
 
         def long_tail(md):
             m_, op_ = md
@@ -368,7 +445,7 @@ def _encode_kernel(
             two, 0x01 | ((m - 4) << 2) | ((d >> 8) << 5), 0x02 | ((m - 1) << 2)
         )
         b2 = d >> 8
-        return emit3(op, b0, d & 0xFF, b2, jnp.where(two, 2, 3))
+        return emit3(op, b0, d & 0xFF, b2, jnp.where(live, jnp.where(two, 2, 3), 0))
 
     # ---- main commit walk. The prepass (candidate_cmds) already made every
     # probe/extend/profit decision vectorized (including min_profit tag
@@ -376,25 +453,67 @@ def _encode_kernel(
     # emits. Loop invariant: ip IS a take position (skip commands point
     # straight at the next take, so a skip is folded into the tail of the
     # previous take step as one select — no skip iterations, no take/skip
-    # cond). One iteration = one emitted literal+copy pair.
+    # cond). One step = one emitted literal+copy pair.
+    #
+    # The loop body unrolls UNROLL_TAKES steps per backedge. Measured
+    # scalar-core cost model (benchmarks/exp_vector_walk.py E7, v5e):
+    # dependent SMEM loads cost ~6 cyc each and their chains do NOT
+    # overlap across while-loop backedges, but DO overlap within one
+    # unrolled body; a lax.cond costs ~5 cyc; backedges themselves are
+    # ~free. One take has a ~4-deep dependent load chain (command word ->
+    # match probes -> skip-fold word), so un-unrolled it exposes the whole
+    # ~35+ cyc chain latency every take (the round-3 kernel measured
+    # 122 cyc/take against ~30 issued ops). Unrolling lets take i+1's
+    # loads issue under take i's latency; steps past the last take are
+    # frozen branch-free (every store's lane mask empties, state holds).
+    # The command word is carried through the state so the dense-takes
+    # recurrence has ONE load: the skip-fold load at the match end is
+    # also the next step's command word.
+    def next_take(q, live):
+        """Jump from match-end q to the next take via the hops words:
+        one dependent load in the common case; saturated deltas (0xFFF)
+        hop and re-read (rare: >4 KiB take-free runs). Returns the next
+        take's position (n when none remains) and its payload word."""
+        nmax = dists_ref.shape[2] - 1
+        vq = dists_ref[0, 0, jnp.minimum(q, nmax)]
+
+        def hop_cond(s):
+            qq, vv = s
+            return (jax.lax.shift_right_logical(vv, 20) == 0xFFF) & (qq < blen) & live
+
+        def hop(s):
+            qq, _ = s
+            qq = qq + 0xFFF
+            return qq, dists_ref[0, 0, jnp.minimum(qq, nmax)]
+
+        q2, vq = jax.lax.while_loop(hop_cond, hop, (q, vq))
+        delta = jax.lax.shift_right_logical(vq, 20)
+        pos = jnp.where(delta == 0xFFF, dists_ref.shape[2], q2 + delta)
+        return pos, vq
+
     def take_step(state):
-        ip, anchor, op = state
-        cd = dists_ref[0, 0, ip]
-        d = cd & 0xFFFF
-        hi = jax.lax.shift_right_logical(cd, 16)
-        if debug_mode == 1:
+        ip, anchor, op, cd = state
+        live = ip <= blen - 4
+        d = jnp.where(live, cd & 0xFFFF, 0)
+        hi = jnp.where(live, ((cd >> 16) & 7) + 4, 0)
+        # frozen steps: a_eff = blen drives match_len's limit to 0 -> m = 0
+        a_eff = jnp.where(live, ip, blen)
+        b_eff = jnp.where(live, ip - d, 0)
+        if debug_mode in (1, 5):
             m = hi
         else:
             # Unconditional: for prepass-exact matches (hi < M_CAP) the
             # first word compare mismatches and the loop exits with m == hi.
-            m = match_len(ip, ip - d, hi)
+            m = match_len(a_eff, b_eff, hi)
 
         # A capped runner-up candidate may extend farther than the
         # prepass's pick — extend and keep the better (score = match
         # bytes minus the extra byte of a far offset).
         def contest(md):
             m_, d_ = md
-            d2v = alt_ref[0, 0, ip]
+            d2v = jnp.where(
+                live, alt_ref[0, 0, jnp.minimum(ip, alt_ref.shape[2] - 1)], 0
+            )
 
             def ext(_):
                 m2 = match_len(ip, ip - d2v, jnp.int32(M_CAP))
@@ -405,35 +524,39 @@ def _encode_kernel(
 
             return jax.lax.cond(d2v > 0, ext, lambda _: (m_, d_), 0)
 
-        m, dd = (m, d) if debug_mode in (1, 3, 4) else contest((m, d))
-        lit = ip - anchor
+        m, dd = (m, d) if debug_mode in (1, 3, 4, 5) else contest((m, d))
+        lit = jnp.where(live, ip - anchor, 0)
         q = ip + m
-        if debug_mode in (2, 4):  # walk + extension only: no emission
+        if debug_mode == 5:  # pure take chain: meta counts takes
+            op3 = op + jnp.where(live, 1, 0)
+        elif debug_mode in (2, 4):  # walk + extension only: no emission
             op3 = op + lit + dd + m
         elif debug_mode == 3:  # no contest, full emission (timing only:
             # density differs slightly from the production parse)
             op2 = emit_literal(op, anchor, lit)
-            op3 = emit_copy(op2, dd, m)
+            op3 = emit_copy(op2, dd, m, live)
         else:
             op2 = emit_literal(op, anchor, lit)  # branch-free no-op if lit == 0
-            op3 = emit_copy(op2, dd, m)
-        # skip-fold: the command at the match end either IS the next take
-        # or names it (d2 == 0: high bits carry the next take position).
-        cd2 = dists_ref[0, 0, jnp.minimum(q, dists_ref.shape[2] - 1)]
-        d2 = cd2 & 0xFFFF
-        hi2 = jax.lax.shift_right_logical(cd2, 16)
-        ip_next = jnp.where(d2 != 0, q, jnp.maximum(hi2, q + 1))
-        return ip_next, q, op3
+            op3 = emit_copy(op2, dd, m, live)
+        # jump straight to the next take (hops word carries its d/m)
+        pos2, vq = next_take(q, live)
+        ip_next = jnp.where(live, pos2, ip)
+        cd_next = jnp.where(live, vq, cd)
+        anchor2 = jnp.where(live, q, anchor)
+        return ip_next, anchor2, op3, cd_next
 
     # normalize entry onto the first take position
-    cd0 = dists_ref[0, 0, 0]
-    ip0 = jnp.where(
-        (cd0 & 0xFFFF) != 0,
-        jnp.int32(0),
-        jnp.maximum(jax.lax.shift_right_logical(cd0, 16), 1),
-    )
-    ip, anchor, op = jax.lax.while_loop(
-        lambda s: s[0] <= blen - 4, take_step, (ip0, jnp.int32(0), jnp.int32(0))
+    ip0, cdi = next_take(jnp.int32(0), jnp.bool_(True))
+
+    def unrolled(state):
+        for _ in range(unroll):
+            state = take_step(state)
+        return state
+
+    ip, anchor, op, _ = jax.lax.while_loop(
+        lambda s: s[0] <= blen - 4,
+        unrolled,
+        (ip0, jnp.int32(0), jnp.int32(0), cdi),
     )
 
     # tail literal (reference src/internal.jl:242-248)
@@ -443,7 +566,7 @@ def _encode_kernel(
     meta_ref[0, 0, 0] = op
 
 
-def _build(block_size: int, interpret: bool, min_profit: int = 1, debug_mode: int = 0):
+def _build(block_size: int, interpret: bool, min_profit: int = 1, debug_mode: int = 0, unroll: int = UNROLL_TAKES):
     if block_size % LANES:
         raise ValueError(f"block_size must be a multiple of {LANES}")
     n = block_size
@@ -451,7 +574,7 @@ def _build(block_size: int, interpret: bool, min_profit: int = 1, debug_mode: in
     nro = -(-BLOCK_MAX_OUT // LANES) + 1
 
     kernel = functools.partial(
-        _encode_kernel, nri=nri, nro=nro, interpret=interpret, debug_mode=debug_mode
+        _encode_kernel, nri=nri, nro=nro, interpret=interpret, debug_mode=debug_mode, unroll=unroll
     )
 
     def fn(blocks_u8: jnp.ndarray, blens: jnp.ndarray):
