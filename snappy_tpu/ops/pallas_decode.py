@@ -98,7 +98,8 @@ GROUP = 16  # copy-drain batch width
 #            offset cannot satisfy f <= op inside a <= 64 KiB block, and
 #            the raw-path segmenter declines streams that would need one —
 #            so such positions parse as INVALID, which keeps corrupt
-#            COPY_4 offsets detectably bad); bits 20-26 copy length
+#            COPY_4 offsets detectably bad); bits 20-28 copy length
+#            (<= 128 after same-offset chain folding)
 # shared:  bits 17-19 input advance minus the literal body (cx);
 #          bit 29 is-literal; bit 30 statically-valid (or padding);
 #          bit 31 real (a position inside the stream — pads clear it so
@@ -106,7 +107,7 @@ GROUP = 16  # copy-drain batch width
 A_LEN_BITS = 0x1FFFF  # literal: bits 0-16 output length (0 for pad/invalid)
 C_F_BITS = 0xFFFF  # copy: bits 0-15 offset
 A_CX_SHIFT = 17  # bits 17-19: input advance minus the literal body
-C_N_SHIFT = 20  # copy: bits 20-26 length (0 for pad/invalid/literal)
+C_N_SHIFT = 20  # copy: bits 20-28 length (<=128 folded; 0 for pad/invalid/literal)
 A_LIT_SHIFT = 29  # bit 29: is-literal
 A_VALID_SHIFT = 30  # bit 30: statically valid (or padding)
 A_REAL_SHIFT = 31  # bit 31: real in-stream position
@@ -198,7 +199,46 @@ def parse_cmds(comp_u8: jnp.ndarray, clens: jnp.ndarray):
         pad = pos >= clen
         outs_a.append(jnp.where(pad, 1 << A_VALID_SHIFT, jnp.where(valid, word, 0)))
 
-    return jnp.stack(outs_a, axis=-1).reshape(b, c)
+    # ---- chain fold: merge a 64-byte COPY_2 with its same-offset copy
+    # successor (the chunks emit_copy splits long matches into, reference
+    # src/internal.jl:316-326) into ONE walk/drain record — halves the
+    # record count on match-rich data at vector cost. Word-aligned plane
+    # arithmetic: position p+3 (a COPY_2 is 3 bytes) lives in plane
+    # (r+3)%4, shifted one word for r >= 1. Every position's word remains
+    # a valid standalone parse (mid-chain entry and corrupt streams are
+    # unaffected); alternating pairs fold, so a k-link chain walks in
+    # ceil(k/2) records. Folded n <= 128 keeps the drains' two-row moves
+    # and the hazard re-mover sufficient (lo + n <= 255).
+    flags3 = jnp.int32(real_bit | (1 << A_VALID_SHIFT))  # real+valid, lit=0
+    flagmask = jnp.int32(real_bit | (1 << A_VALID_SHIFT) | (1 << A_LIT_SHIFT))
+
+    folded = []
+    for r in range(4):
+        a = outs_a[r]
+        bw = outs_a[(r + 3) % 4]
+        if r >= 1:
+            bw = jnp.concatenate([bw[:, 1:], jnp.zeros((b, 1), jnp.int32)], axis=1)
+        a_n = (a >> C_N_SHIFT) & 0x1FF
+        a_cx = (a >> A_CX_SHIFT) & 7
+        b_n = (bw >> C_N_SHIFT) & 0x1FF
+        b_cx = (bw >> A_CX_SHIFT) & 7
+        fold = (
+            ((a & flagmask) == flags3)
+            & (a_cx == 3)  # COPY_2: successor is exactly 3 bytes ahead
+            & (a_n == 64)
+            & ((bw & flagmask) == flags3)
+            & (b_cx <= 3)  # COPY_1/2 successors only (cx_new fits 3 bits)
+            & (b_n > 0)
+            & (((a ^ bw) & C_F_BITS) == 0)  # same offset
+        )
+        merged = (
+            (a & (C_F_BITS | flagmask))
+            | ((64 + b_n) << C_N_SHIFT)
+            | ((3 + b_cx) << A_CX_SHIFT)
+        )
+        folded.append(jnp.where(fold, merged, a))
+
+    return jnp.stack(folded, axis=-1).reshape(b, c)
 
 
 def _roll(vec, shift, *, interpret: bool):
@@ -290,7 +330,7 @@ def _decode_kernel(
             v = cmd_ref[0, 0, ip]
             a = ip + ((v >> A_CX_SHIFT) & 7)  # literal body / copy successor
             lit = (v >> A_LIT_SHIFT) & 1
-            length = jnp.where(lit == 1, v & A_LEN_BITS, (v >> C_N_SHIFT) & 0x7F)
+            length = jnp.where(lit == 1, v & A_LEN_BITS, (v >> C_N_SHIFT) & 0x1FF)
             rl = jax.lax.shift_right_logical(v, A_REAL_SHIFT)
             lit_src_ref[tl] = a
             lit_op_ref[tl] = op
@@ -422,7 +462,7 @@ def _decode_kernel(
         def _():
             # Row-crossing tail: reload AFTER the first-row store so RLE
             # sources in row r are fresh; lanes [0, f) are then valid and
-            # the same doubling covers the rest (rem < LANES since n <= 64).
+            # the same doubling covers the rest (rem < LANES since n <= 128).
             rem = lo + n - LANES
             qb = jnp.clip(((r + 1) * LANES - f) >> 7, -1, nru - 1)
             mb, _ = make_m2(out_ref, qb, ph, shift)
@@ -442,7 +482,7 @@ def _decode_kernel(
             opv = cpy_op_ref[t]
             wb = cmd_ref[0, 0, ip]
             f = wb & C_F_BITS
-            n = (wb >> C_N_SHIFT) & 0x7F
+            n = (wb >> C_N_SHIFT) & 0x1FF
             hazard_move(opv - f, opv, n)
             return 0
 
@@ -462,7 +502,7 @@ def _decode_kernel(
                 opv = cpy_op_ref[t]
                 wb = cmd_ref[0, 0, ip]
                 f = wb & C_F_BITS
-                n = (wb >> C_N_SHIFT) & 0x7F
+                n = (wb >> C_N_SHIFT) & 0x1FF
                 src = opv - f
                 # validity (src >= 0) accumulates as a sign-bit OR; records
                 # with n == 0 (sentinels/invalid) have f == 0, src = opv >= 0,
