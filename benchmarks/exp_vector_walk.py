@@ -489,8 +489,13 @@ if __name__ == "__main__":
         run_chains()
     if which in ("all", "drains"):
         run_drains()
-    if which in ("all", "walks"):
+    if which == "walks":
+        # NOT in "all": the walk8 skeleton kernel FAULTS the TPU worker
+        # (kernel fault, undiagnosed — dynamic tile stores under a vector
+        # while loop suspected) and needs a worker restart afterwards.
         run_walks()
+    if which in ("all", "scalar"):
+        run_scalar_costs()
     print("DONE", flush=True)
 
 
