@@ -288,35 +288,60 @@ def main() -> None:
     # tunnel number.
     large_bytes = int(os.environ.get("BENCH_LARGE_BYTES", 64 << 20))
     if on_tpu and large_bytes > 0 and enc_streams is not None:
-        cmax_l, comp_l, clens_l = pack_streams(enc_streams, pallas_decode.COMP_PAD)
+        # DISTINCT device-resident batches: the whole large stream lives in
+        # HBM (encoded on device once, one batch per chunk), so the timed
+        # decode touches large_bytes of distinct frames — real HBM
+        # residency, not one 8 MiB batch cycled. Device memory: ~2 bytes
+        # per stream byte (raw batch + compressed batches), fine to ~4 GB.
+        cmax_l, comp0, clens0 = pack_streams(enc_streams, pallas_decode.COMP_PAD)
         dec_l = pallas_decode.decode_blocks_jit(cmax_l, BLOCK_SIZE)
-        dcomp_l = jax.device_put(comp_l)
-        dclens_l = jax.device_put(clens_l)
         dulens_l = jax.device_put(np.full(BATCH, BLOCK_SIZE, np.int32))
         loops = -(-large_bytes // (BATCH * BLOCK_SIZE))
-        out = dec_l(dcomp_l, dclens_l, dulens_l)
-        fence(out)  # warm
+        lraw = corpus_stream(loops * BATCH * BLOCK_SIZE)
+        slice_w = cmax_l  # decoder width bucket; encoder output is wider
+        dcomps, dclenss, dbufs = [], [], []
+        for k in range(loops):
+            chunk = np.frombuffer(
+                lraw[k * BATCH * BLOCK_SIZE : (k + 1) * BATCH * BLOCK_SIZE], np.uint8
+            )
+            bufk = np.zeros((BATCH, BLOCK_SIZE + pallas_encode.ENC_PAD), np.uint8)
+            bufk[:, :BLOCK_SIZE] = chunk.reshape(BATCH, BLOCK_SIZE)
+            dbufk = jax.device_put(bufk)
+            outk, olensk = enc(dbufk, jax.device_put(np.full(BATCH, BLOCK_SIZE, np.int32)))
+            olns = np.asarray(olensk)
+            assert int(olns.max()) <= slice_w - pallas_decode.COMP_PAD, "cmax bucket too small"
+            # device-side slice into the decoder's width bucket; bytes past
+            # each stream's clen are garbage the parse pads/masks out
+            dcomps.append(jnp.asarray(outk[:, :slice_w]))
+            dclenss.append(jnp.asarray(olns.astype(np.int32)))
+            dbufs.append(dbufk)
+        # correctness gate on a sampled batch
+        outs, oks, _ = dec_l(dcomps[0], dclenss[0], dulens_l)
+        assert bool(np.asarray(oks).all())
+        assert np.asarray(outs).tobytes() == lraw[: BATCH * BLOCK_SIZE]
         t0 = time.perf_counter()
-        for _ in range(loops):
-            out = dec_l(dcomp_l, dclens_l, dulens_l)
+        for k in range(loops):
+            out = dec_l(dcomps[k], dclenss[k], dulens_l)
         fence(out)
         t_dec = time.perf_counter() - t0
         gbps_dec = loops * BATCH * BLOCK_SIZE / t_dec / 1e9
 
+        dlens_l = jax.device_put(np.full(BATCH, BLOCK_SIZE, np.int32))
         t0 = time.perf_counter()
-        for _ in range(loops):
-            oute = enc(dbuf0, dlens0)
+        for k in range(loops):
+            oute = enc(dbufs[k], dlens_l)
         fence(oute)
         t_enc = time.perf_counter() - t0
         gbps_enc = loops * BATCH * BLOCK_SIZE / t_enc / 1e9
+        del dcomps, dbufs
         metrics.add(
             stage="large_device",
             bytes=loops * BATCH * BLOCK_SIZE,
             compress_gbps=gbps_enc,
             uncompress_gbps=gbps_dec,
             uncompress_roofline_frac=gbps_dec * 1.5 / HBM_GBPS,
-            note="device-resident kernel rate: corpus batch cycled to the "
-            "target size via chained dispatches (dev tunnel excluded)",
+            note="device-resident kernel rate over DISTINCT HBM-resident "
+            "batches covering the full byte count (dev tunnel excluded)",
         )
 
     # ---- streaming pipeline stage (the reference's 644 MB "large" config,

@@ -155,8 +155,46 @@ def frame_to_raw(frame: bytes) -> bytes:
 
 
 def raw_to_frame(raw: bytes, config: FrameConfig = DEFAULT_FRAME_CONFIG) -> bytes:
-    """Reframe a raw stream into a frame (requires decoding to find block
-    boundaries — raw streams do not record them)."""
+    """Reframe a raw stream into a frame.
+
+    Fast path: when the native segmenter finds exact block_size-output
+    tag-stream segments (every block-based encoder's streams), the frame
+    reuses the segment BYTES verbatim — no re-encode; the stream is
+    decoded only to produce the per-block crcs the frame adds (and not
+    at all when config.checksum is off). Streams that defeat
+    segmentation (boundary-straddling tags, block-crossing copies) fall
+    back to decode + re-encode."""
+    from ..core import varint as _varint
+
+    seg = None
+    if config.block_size == 1 << 16:
+        try:
+            from ..native import runtime as nat
+
+            if nat.available():
+                comp = np.frombuffer(raw, np.uint8)
+                ulen, start = _varint.parse32(comp, 0)
+                seg = nat.scan_blocks(comp[start:], ulen) if ulen else None
+        except ImportError:
+            seg = None
+    if seg is not None:
+        starts, oplens = seg
+        body = raw[start:]
+        exact = all(int(oplens[i]) == config.block_size for i in range(len(oplens) - 1))
+        if exact and len(oplens) > 0:
+            bounds = list(int(s) for s in starts) + [len(body)]
+            streams = [body[bounds[i] : bounds[i + 1]] for i in range(len(starts))]
+            raws = None
+            if config.checksum:
+                from ..api import uncompress
+
+                out = uncompress(raw)
+                raws = [
+                    out[i * config.block_size : (i + 1) * config.block_size]
+                    for i in range(len(streams))
+                ]
+            return build_frame(streams, raws, ulen, config)
+
     from ..api import uncompress
     from .host import compress_framed
 

@@ -130,3 +130,50 @@ def test_mesh_sharded_gathered_decode():
         out[i, : olens[i]].tobytes() for i in range(-(-n // 65536))
     )
     assert oracle.uncompress(stream) == raw
+
+
+from snappy_tpu.parallel import framed
+
+
+class TestRawToFrame:
+    def _roundtrip(self, raw_bytes, **cfg_kw):
+        from snappy_tpu.core.config import FrameConfig
+        from snappy_tpu.parallel.host import uncompress_framed
+
+        cfg = FrameConfig(**cfg_kw) if cfg_kw else None
+        frame = (
+            framed.raw_to_frame(raw_bytes, config=cfg)
+            if cfg
+            else framed.raw_to_frame(raw_bytes)
+        )
+        return frame, uncompress_framed(frame)
+
+    def test_native_stream_reframes_verbatim(self):
+        """Block-local streams reframe without re-encoding: the frame's
+        payload is byte-identical to the raw stream's tag bytes."""
+        nat = pytest.importorskip("snappy_tpu.native.runtime")
+        if not nat.available():
+            pytest.skip("no native lib")
+        raw = (read_testdata("alice29.txt") * 2)[: 3 * (1 << 16) + 999]
+        s = nat.compress(raw)
+        ulen, hdr = nat.uncompressed_length(s)
+        frame, out = self._roundtrip(s)
+        assert out == raw
+        idx = framed.parse_index(frame)
+        payload = frame[idx.payload_start :]
+        assert payload == s[hdr:]  # verbatim reuse, no re-encode
+
+    def test_foreign_nonblocking_stream_falls_back(self):
+        s = read_testdata("alice29.snappy")
+        _, out = self._roundtrip(s)
+        assert out == read_testdata("alice29.txt")
+
+    def test_no_checksum_config(self):
+        nat = pytest.importorskip("snappy_tpu.native.runtime")
+        if not nat.available():
+            pytest.skip("no native lib")
+        raw = read_testdata("html")
+        s = nat.compress(raw)
+        frame, out = self._roundtrip(s, checksum=False)
+        assert out == raw
+        assert framed.parse_index(frame).crcs is None
