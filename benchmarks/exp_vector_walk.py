@@ -581,3 +581,74 @@ def _main2():
 if os.environ.get("EXP_SCALAR") == "1" and __name__ == "__main__":
     _main2()
     sys.exit(0)
+
+
+# ---------------------------------------------------------------- E8
+# pl.when cost inside a pipelined drain-style loop: the decode drains
+# always issue their second-row (usually empty-mask) stores branch-free;
+# if a predicated region is cheap, ~5 vector ops/record drop out.
+def _when_drain_kernel(n_ref, q_ref, r_ref, src_ref, out_ref, *, mode):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    def one(t, _):
+        q0 = q_ref[t]
+        rr = r_ref[t]
+        lo = q0 & 127
+        n = (q0 >> 7) & 63
+        a = src_ref[q0 & 255, :].reshape(1, LANES)
+        b = src_ref[(q0 & 255) + 1, :].reshape(1, LANES)
+        m = pltpu.roll(jnp.where(lane >= lo, a, b), lo, 1)
+        keep = (lane >= lo) & (lane < lo + n)
+        pltpu.store(out_ref.at[rr, :], m.reshape(LANES), mask=keep.reshape(LANES))
+        if mode == "always":
+            m2 = pltpu.roll(jnp.where(lane >= lo, b, a), lo, 1)
+            pltpu.store(out_ref.at[rr + 1, :], m2.reshape(LANES), mask=(lane < lo + n - LANES).reshape(LANES))
+        elif mode == "when":
+            @pl.when(lo + n > LANES)
+            def _():
+                m2 = pltpu.roll(jnp.where(lane >= lo, b, a), lo, 1)
+                pltpu.store(out_ref.at[rr + 1, :], m2.reshape(LANES), mask=(lane < lo + n - LANES).reshape(LANES))
+        return 0
+
+    def body(g, _):
+        for k in range(8):
+            one((g % 512) * 8 + k, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_ref[0] // 8, body, 0, unroll=False)
+
+
+def run_when():
+    rng = np.random.default_rng(3)
+    NR = 4096
+    # lo+n > 128 for ~15% of records (drain-realistic crossing rate)
+    lo = rng.integers(0, 128, NR)
+    n = np.where(rng.random(NR) < 0.15, 127 - np.minimum(lo, 63), rng.integers(1, 40, NR))
+    q = (lo | (np.minimum(n, 63) << 7)).astype(np.int32)
+    r = rng.integers(0, 500, NR).astype(np.int32)
+    src = jnp.asarray(rng.integers(0, 255, (260, LANES)), jnp.int32)
+
+    for mode in ("always", "when", "none"):
+        k = functools.partial(_when_drain_kernel, mode=mode)
+        f = jax.jit(
+            pl.pallas_call(
+                k,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((504, LANES), jnp.int32),
+            )
+        )
+        hi_n, lo_n = NR * 64, NR * 8
+        t_hi = sync_time(f, (jnp.array([hi_n], jnp.int32), jnp.asarray(q), r, src))
+        t_lo = sync_time(f, (jnp.array([lo_n], jnp.int32), jnp.asarray(q), r, src))
+        per = (t_hi - t_lo) / (hi_n - lo_n)
+        print(f"E8 drain2nd {mode:7s} {per*1e9:8.2f} ns/rec = {per*CLOCK_GHZ*1e9:6.2f} cyc/rec", flush=True)
+
+if os.environ.get("EXP_WHEN") == "1" and __name__ == "__main__":
+    run_when()
+    sys.exit(0)

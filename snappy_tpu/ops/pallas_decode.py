@@ -30,19 +30,21 @@ Structure per block (grid step):
   so the chunk terminates with ok=0.
 
   LITERAL DRAIN: literal bytes live in the compressed buffer, which is
-  never written — loads pipeline freely (fact 2). One masked-store move
-  per record; spans crossing an output row take a predicated second store;
-  >128-byte literals take a row loop (rare: 0.1% on the corpus).
+  never written — loads pipeline freely (fact 2). The hot loop issues ONE
+  masked-store move per record; records crossing an output row (~15-20%)
+  queue branch-free and finish in a row-loop cleanup pass.
 
   COPY DRAIN (ordered): groups of GROUP (16) — all loads, then all masked
   stores, paying the ref-ordering stall once per group (fact 3); only the
   blended source rows are staged as vectors (masks rebuild from scalars at
   store time, halving live vregs). Records whose source reaches at-or-past
-  the group leader's output position re-run after the group's stores as a
-  ONE-SHOT reload+store (everything below their destination is
-  materialized by then); self-overlapping RLE records (reference
-  src/internal.jl:469-509) extend the reloaded period in-register by
-  lane-doubling rolls, so even an f=1 run pays the reload stall once.
+  the group leader's output position — and records crossing an output
+  row — re-run after the group's stores as a ONE-SHOT reload+store
+  (everything below their destination is materialized by then);
+  self-overlapping RLE records (reference src/internal.jl:469-509) extend
+  the reloaded period in-register by lane-doubling rolls, so even an f=1
+  run pays the reload stall once. (A/B'd against always-issuing the
+  second-row store: identical, copy2store flag keeps the variant.)
 
 Literals drain before copies within a chunk, so copy sources (strictly
 older output) are always materialized: literal bytes by the literal pass,
@@ -278,6 +280,7 @@ def _decode_kernel(
     interpret: bool,
     debug_mode: int = 0,  # 0=full, 2=walk only, 3=walk+literals
     group: int = GROUP,
+    copy2store: bool = False,  # A/B: always-issue the copy second-row store
 ):
     clen = clen_ref[0, 0, 0]
     ulen = ulen_ref[0, 0, 0]
@@ -379,16 +382,18 @@ def _decode_kernel(
             r = jnp.minimum(opv >> 7, nru - 1)  # binds only on corrupt streams
             lo = opv & 127
             q0 = jnp.clip((r * LANES - d) >> 7, -1, nrc - 1)
-            # branch-free: the second-row store has an empty mask when the
-            # span does not cross (a scalar branch here would serialize the
-            # whole pipelined loop)
-            m, m2 = make_m2(comp_ref, q0, ph, shift)
+            # ONE row store per record in the hot loop: a second always-
+            # issued store measured ~+30 cyc/record and a pl.when region
+            # serialized the loop entirely (E8, exp_vector_walk.py), so
+            # records crossing an output row queue branch-free and finish
+            # in the cleanup pass below (~15-20% of corpus records).
+            a = row(comp_ref, q0)
+            b = row(comp_ref, q0 + 1)
+            m = _roll(jnp.where(lane >= ph, a, b), shift, interpret=interpret)
             keep = (lane >= lo) & (lane < lo + n)
             _masked_store(out_ref, r + 1, m, keep, interpret=interpret)
-            k2 = lane < lo + n - LANES
-            _masked_store(out_ref, r + 2, m2, k2, interpret=interpret)
 
-            long = lo + n > 2 * LANES
+            long = lo + n > LANES
             ovf_t_ref[nq] = t
             return nq + long.astype(jnp.int32)
 
@@ -421,7 +426,7 @@ def _decode_kernel(
                 _masked_store(out_ref, jnp.minimum(q, nru - 1) + 1, mq, kq, interpret=interpret)
                 return 0
 
-            jax.lax.fori_loop(r + 2, jnp.minimum(((opv + n - 1) >> 7) + 1, nru), rowloop, 0, unroll=False)
+            jax.lax.fori_loop(r + 1, jnp.minimum(((opv + n - 1) >> 7) + 1, nru), rowloop, 0, unroll=False)
             return 0
 
         jax.lax.fori_loop(0, nq, finish, 0, unroll=False)
@@ -522,16 +527,31 @@ def _decode_kernel(
                 # self-overlap f < n; sentinels carry opv = 0 and n == 0,
                 # never hazardous). Byte-precise: sharing a ROW with a
                 # mate's store is harmless, kept lanes never use its bytes.
-                # Hazards queue branch-free and redo serially after the
-                # group's stores (in order, so chained hazards stay right).
-                hz = src + n > lead_op
-                m, m2 = make_m2(out_ref, q0, ph, shift)
-                staged.append((t, r, lo, n, m, m2, hz))
+                # Hazards AND row-crossing records queue branch-free and
+                # redo serially after the group's stores (in order, so
+                # chained hazards stay right): the hot path issues ONE
+                # store per record — an always-issued second store
+                # measured ~+30 cyc/record (E8, exp_vector_walk.py) —
+                # and hazard_move rewrites both rows of queued records
+                # from materialized output, which is idempotent for pure
+                # crossings.
+                if copy2store:
+                    hz = src + n > lead_op
+                    m, m2 = make_m2(out_ref, q0, ph, shift)
+                    staged.append((t, r, lo, n, m, m2, hz))
+                else:
+                    hz = (src + n > lead_op) | (lo + n > LANES)
+                    a = row(out_ref, q0)
+                    bq = row(out_ref, q0 + 1)
+                    m = _roll(jnp.where(lane >= ph, a, bq), shift, interpret=interpret)
+                    staged.append((t, r, lo, n, m, None, hz))
             for t, r, lo, n, m, m2, hz in staged:
                 keep = (lane >= lo) & (lane < lo + n)
-                keep2 = lane < lo + n - LANES
                 _masked_store(out_ref, r + 1, m, keep, interpret=interpret)
-                _masked_store(out_ref, r + 2, m2, keep2, interpret=interpret)
+                if copy2store:
+                    _masked_store(
+                        out_ref, r + 2, m2, lane < lo + n - LANES, interpret=interpret
+                    )
                 hzq_ref[nh] = t
                 nh += hz.astype(jnp.int32)
 
@@ -565,7 +585,7 @@ def _decode_kernel(
     meta_ref[0, 0, 1] = op
 
 
-def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0, group: int = GROUP):
+def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0, group: int = GROUP, copy2store: bool = False):
     if out_size % LANES:
         raise ValueError(f"out_size must be a multiple of {LANES}")
     cmax_padded = max(cmax_padded, COMP_PAD + 1)  # degenerate empty streams
@@ -582,6 +602,7 @@ def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0
         interpret=interpret,
         debug_mode=debug_mode,
         group=group,
+        copy2store=copy2store,
     )
 
     def fn(comp_u8: jnp.ndarray, clens: jnp.ndarray, ulens: jnp.ndarray):
