@@ -131,3 +131,83 @@ def test_batched_mixed_blocks():
     assert ok.all()
     for i, raw in enumerate(blocks):
         assert bytes(out[i, : len(raw)]) == raw
+
+
+class TestChainFold:
+    """Same-offset COPY_2 chain folding (parse_cmds): the drain-record
+    merge must be invisible in the decoded bytes for every chain shape."""
+
+    @staticmethod
+    def _copy2(length, off):
+        return bytes([0x02 | ((length - 1) << 2), off & 0xFF, off >> 8])
+
+    @staticmethod
+    def _copy1(length, off):
+        assert 4 <= length <= 11 and off < 2048
+        return bytes([0x01 | ((length - 4) << 2) | ((off >> 8) << 5), off & 0xFF])
+
+    @staticmethod
+    def _lit(data):
+        n = len(data)
+        assert n <= 60
+        return bytes([(n - 1) << 2]) + data
+
+    def _check(self, body: bytes, expect: bytes):
+        out, ok, total = run_decode(
+            [np.frombuffer(body, np.uint8)], [len(expect)], out_size=BLOCK_SIZE
+        )
+        assert ok.all() and int(total[0]) == len(expect)
+        assert bytes(out[0, : len(expect)]) == expect
+
+    def test_emit_style_chain_64_64_60_rem(self):
+        base = bytes(range(37)) * 2  # 74-byte seed
+        body = self._lit(base[:60]) + self._lit(base[60:])
+        # 202-byte match at offset 74 = 64+64+60+14 chunks, all same f
+        body += self._copy2(64, 74) + self._copy2(64, 74) + self._copy2(60, 74) + self._copy2(14, 74)
+        # expected bytes: out[i] = out[i-74] for 202 bytes
+        exp = bytearray(base)
+        for _ in range(202):
+            exp.append(exp[-74])
+        self._check(body, bytes(exp))
+
+    def test_chain_with_copy1_tail(self):
+        base = b"abcdefghij" * 2
+        body = self._lit(base) + self._copy2(64, 20) + self._copy1(8, 20)
+        exp = bytearray(base)
+        for _ in range(72):
+            exp.append(exp[-20])
+        self._check(body, bytes(exp))
+
+    def test_different_offset_chain_does_not_merge_wrong(self):
+        base = bytes(range(60))
+        body = self._lit(base) + self._copy2(64, 30) + self._copy2(64, 29)
+        exp = bytearray(base)
+        for _ in range(64):
+            exp.append(exp[-30])
+        for _ in range(64):
+            exp.append(exp[-29])
+        self._check(body, bytes(exp))
+
+    def test_rle_folded_chain(self):
+        # f=1 runs: fold makes n=128 RLE records through the hazard path
+        body = self._lit(b"x") + self._copy2(64, 1) + self._copy2(64, 1) + self._copy2(64, 1) + self._copy2(33, 1)
+        self._check(body, b"x" * (1 + 64 * 3 + 33))
+
+    def test_odd_chain_lengths(self):
+        for k in (1, 2, 3, 5, 8):
+            base = bytes((i * 7) & 0xFF for i in range(70))
+            body = self._lit(base[:60]) + self._lit(base[60:])
+            body += b"".join(self._copy2(64, 70) for _ in range(k)) + self._copy2(7, 70)
+            exp = bytearray(base)
+            for _ in range(64 * k + 7):
+                exp.append(exp[-70])
+            self._check(body, bytes(exp))
+
+    def test_corrupt_mid_chain_truncation_flagged(self):
+        base = bytes(range(60))
+        body = self._lit(base) + self._copy2(64, 30) + self._copy2(64, 30)
+        # truncate inside the second copy tag: stream must flag corrupt
+        out, ok, total = run_decode(
+            [np.frombuffer(body[:-1], np.uint8)], [60 + 128], out_size=BLOCK_SIZE
+        )
+        assert not ok.all()
