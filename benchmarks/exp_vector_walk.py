@@ -7,11 +7,18 @@ walk 8-blocks-wide (one gather serves 8 chains) and the drains 8-records-
 wide. This script measures, within ONE run (the tunnelled chip has
 ±15-30% run-to-run variance):
 
-  E1  chained lane-gather rate on (8,128) int32      -> cyc/gather
-  E2  chained sublane-gather rate on (8,128) int32   -> cyc/gather
-  E3  row-lockstep 8-block walk skeleton             -> cyc/tag (the new walk)
-  E3s scalar-chain walk skeleton (old style)         -> cyc/tag (baseline)
-  E4  8-wide drain skeleton (stage+2D-permute+store) -> cyc/record
+  E5  select-primitive chains (gather / one-hot+reduce), G interleaved
+      independent chains                             -> cyc latency/issue
+  E4  8-wide drain skeletons (gather / log-roll align) -> cyc/record
+  E3  row-lockstep 8-block walk skeleton (arg "walks" ONLY: faults the
+      TPU worker)                                    -> cyc/tag
+  E7  scalar-core cost model: backedge / lax.cond / SMEM-chain costs
+  E8  drain second-store strategies (always / pl.when / none)
+
+Results live in NEGATIVE_RESULTS.md and the kernel docstrings; headline
+findings: SMEM loads ~6 cyc with non-overlappable serial chains, conds
+~5 cyc, backedges free, all per-sublane lane-permute primitives 20-85
+cyc, and data-dependent pl.when regions serialize pipelined loops.
 
 All kernels take an iteration/scale knob from SMEM so each compiles once;
 rates come from the slope between two knob values (cancels dispatch and
