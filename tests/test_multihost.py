@@ -74,3 +74,29 @@ def test_two_process_frame_matches_single_process(tmp_path):
 
     # and the single-process decoder accepts the multi-host frame
     assert snappy_tpu.uncompress_framed((tmp_path / "mh.frame").read_bytes()) == raw
+
+
+def test_block_range_rejects_noncontiguous_devices():
+    """_my_block_range must refuse meshes where a process's devices are
+    not contiguous in mesh order (silent block-claim desync otherwise)."""
+    import types
+
+    import numpy as np
+
+    from snappy_tpu.parallel import multihost
+
+    class Dev:
+        def __init__(self, pi):
+            self.process_index = pi
+
+    # process 0 owns mesh slots 0 and 2: non-contiguous
+    devs = np.array([Dev(0), Dev(1), Dev(0), Dev(1)], dtype=object)
+    mesh = types.SimpleNamespace(devices=devs)
+    import jax
+
+    if jax.process_index() != 0:
+        return
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="contiguous"):
+        multihost._my_block_range(8, mesh)
