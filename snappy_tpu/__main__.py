@@ -68,9 +68,13 @@ def cmd_decompress(args) -> int:
         from .parallel import framed, streaming
 
         # a single frame vs a sequence of frames: the durable-frame scan
-        # distinguishes them (one frame == whole file is one frame)
-        _, nframes, covered = streaming.scan_durable_frames(args.input)
-        if nframes != 1:
+        # distinguishes them (one frame == whole file is one frame). A file
+        # whose durable prefix is one frame but that carries TRAILING bytes
+        # (a run killed while writing its second frame) must go through the
+        # stream path: routing it to uncompress_framed would silently decode
+        # only the first frame and ignore --resume.
+        durable, nframes, covered = streaming.scan_durable_frames(args.input)
+        if nframes != 1 or durable != os.path.getsize(args.input):
             if args.resume:
                 n = streaming.resume_uncompress_file(args.input, args.output)
             else:

@@ -104,8 +104,12 @@ def _uncompress_blocked(comp: np.ndarray, ulen: int, start: int) -> bytes | None
     out_size = 1 << 16 if int(oplens.max()) <= 1 << 16 else 1 << 17
     nb = _bucket(n_blocks)
     blocks = np.zeros((nb, cmax + decode_xla.COMP_PAD), np.uint8)
-    for i in range(n_blocks):
-        blocks[i, : clens[i]] = body[bounds[i] : bounds[i + 1]]
+    # Vectorized ragged scatter (one fancy-indexed assignment, C speed): a
+    # per-block Python copy loop was ~O(n_blocks) interpreter overhead and
+    # would cap a faster kernel.
+    rows = np.repeat(np.arange(n_blocks), clens)
+    cols = np.arange(len(body), dtype=np.int64) - np.repeat(bounds[:-1], clens)
+    blocks[rows, cols] = body
     ulens = np.zeros(nb, np.int32)
     ulens[:n_blocks] = oplens
     clens_p = np.zeros(nb, np.int32)
@@ -123,7 +127,10 @@ def _uncompress_blocked(comp: np.ndarray, ulen: int, start: int) -> bytes | None
     out_np = np.asarray(out[:n_blocks])
     if (oplens == out_size).all():
         return out_np.tobytes()
-    return b"".join(out_np[i, : oplens[i]].tobytes() for i in range(n_blocks))
+    # Ragged gather: one boolean-mask extraction (row-major order = block
+    # concatenation) instead of a per-block join loop.
+    keep = np.arange(out_size, dtype=np.int32)[None, :] < np.asarray(oplens)[:, None]
+    return out_np[keep].tobytes()
 
 
 def compress(data) -> bytes:

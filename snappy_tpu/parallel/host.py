@@ -106,10 +106,17 @@ def dispatch_uncompress(frame: bytes, mesh=None):
     clens = np.zeros(nb, np.int32)
     ulens = np.zeros(nb, np.int32)
     fbuf = np.frombuffer(frame, np.uint8)
-    for i, (s, e) in enumerate(ranges):
-        comp[i, : e - s] = fbuf[s:e]
-        clens[i] = e - s
-        ulens[i] = idx.block_ulen(i)
+    # Vectorized ragged scatter (block tag streams are contiguous in the
+    # frame payload): one fancy-indexed assignment, no per-block loop.
+    n = idx.n_blocks
+    starts = np.array([s for s, _ in ranges], np.int64)
+    clens[:n] = np.array([e - s for s, e in ranges], np.int64)
+    body = fbuf[starts[0] : ranges[-1][1]]
+    rows = np.repeat(np.arange(n), clens[:n])
+    cols = np.arange(len(body), dtype=np.int64) - np.repeat(starts - starts[0], clens[:n])
+    comp[rows, cols] = body
+    ulens[:n] = idx.block_size
+    ulens[n - 1] = idx.block_ulen(n - 1)
     out_size = _bucket(int(idx.block_size), 64)
     with trace_annotation("framed.dispatch_uncompress"):
         if mesh is not None:
@@ -131,9 +138,14 @@ def assemble_uncompress(ticket) -> bytes:
         bad = int(np.flatnonzero(~ok[: idx.n_blocks])[0])
         raise CorruptInputError(f"corrupt framed block {bad}")
     out = np.asarray(out)
-    blocks = [out[i, : idx.block_ulen(i)].tobytes() for i in range(idx.n_blocks)]
-    framed.verify_crcs(idx, blocks)
-    return b"".join(blocks)
+    bs = int(idx.block_size)
+    # One contiguous slice+reshape instead of a per-block join loop; crc
+    # verification runs over zero-copy views into the same buffer.
+    body = out[: idx.n_blocks, :bs].reshape(-1)[: idx.total_len]
+    framed.verify_crcs(
+        idx, [body[i * bs : i * bs + idx.block_ulen(i)] for i in range(idx.n_blocks)]
+    )
+    return body.tobytes()
 
 
 def uncompress_framed(frame: bytes, mesh=None) -> bytes:

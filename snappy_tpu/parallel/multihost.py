@@ -27,10 +27,11 @@ two CPU processes and asserts byte equality with the single-process frame).
 filesystem shared by ALL processes (NFS/GCS-fuse/parallel FS — the normal
 pod arrangement, and what the localhost tests use). Each process pwrites
 only its own slice; on per-host local disks every host would end up with
-a silently incomplete file. Process 0 verifies the assembled frame's size
-(and readable index) after the final barrier and raises otherwise, which
-turns that misconfiguration into a loud error on shared storage and at
-least one failing process otherwise.
+a silently incomplete file. After the final barrier every process
+re-parses the header+index from disk, and process 0 decodes a sampled
+block from each peer's payload slice — so the per-host-local-disk
+misconfiguration fails loudly on every process (peers see no header;
+process 0 sees undecodable peer payload).
 """
 
 from __future__ import annotations
@@ -164,18 +165,56 @@ def compress_framed(
     finally:
         os.close(fd)
     multihost_utils.sync_global_devices("snappy_tpu.multihost.compress")
-    if jax.process_index() == 0:
-        # Post-write verification (after the barrier, so every process has
-        # written): the assembled frame must be complete and parseable.
-        # Catches the non-shared-filesystem misconfiguration loudly.
-        if os.path.getsize(out_path) != frame_size:
-            raise RuntimeError(
-                f"assembled frame {out_path} is {os.path.getsize(out_path)} "
-                f"bytes, expected {frame_size}: are all processes writing "
-                "to the same (shared) filesystem?"
-            )
+    # Post-write verification (after the barrier, so every process has
+    # written). The size check alone cannot catch a non-shared filesystem
+    # (every process ftruncates its local file to frame_size), so the check
+    # is cross-process both ways:
+    #   - EVERY process re-reads and parses the header+index from disk —
+    #     on per-host local disks, processes != 0 see ftruncate zeros where
+    #     process 0's header should be and fail loudly;
+    #   - process 0 additionally decodes one sampled block from each OTHER
+    #     process's payload slice with the CPU oracle and checks its length
+    #     (+ crc when enabled) — actual peer payload bytes, not metadata.
+    if os.path.getsize(out_path) != frame_size:
+        raise RuntimeError(
+            f"assembled frame {out_path} is {os.path.getsize(out_path)} "
+            f"bytes, expected {frame_size}: are all processes writing "
+            "to the same (shared) filesystem?"
+        )
+    with open(out_path, "rb") as vf:
+        framed.parse_index(vf.read(len(header)), require_payload=False)
+    if jax.process_index() == 0 and n_blocks:
+        from ..core import varint
+        from ..cpu import oracle
+
+        per_dev = nb // mesh.devices.size
+        first_block: dict[int, int] = {}
+        for pos, d in enumerate(mesh.devices.reshape(-1)):
+            first_block.setdefault(d.process_index, pos * per_dev)
         with open(out_path, "rb") as vf:
-            framed.parse_index(vf.read(len(header)), require_payload=False)
+            for p, blk in sorted(first_block.items()):
+                if p == jax.process_index() or blk >= n_blocks:
+                    continue
+                vf.seek(int(offsets[blk]))
+                stream = vf.read(int(all_olens[blk]))
+                ulen = min(bs, total_len - blk * bs)
+                try:
+                    out_blk = oracle.uncompress(varint.encode32(ulen) + stream)
+                except Exception as e:
+                    raise RuntimeError(
+                        f"payload slice of process {p} (block {blk}) does not "
+                        f"decode ({e}): are all processes writing to the same "
+                        "(shared) filesystem?"
+                    ) from e
+                if len(out_blk) != ulen or (
+                    all_crcs is not None
+                    and zlib.crc32(out_blk) != int(np.uint32(all_crcs[blk]))
+                ):
+                    raise RuntimeError(
+                        f"payload slice of process {p} (block {blk}) decodes "
+                        "to wrong content: are all processes writing to the "
+                        "same (shared) filesystem?"
+                    )
     return frame_size
 
 

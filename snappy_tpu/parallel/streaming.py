@@ -192,6 +192,36 @@ def scan_durable_frames(path: str) -> tuple[int, int, int]:
     return durable, frames, covered
 
 
+def _full_chunk_prefix(path: str, chunk: int) -> tuple[int, int]:
+    """Longest prefix of complete frames that each cover exactly ``chunk``
+    input bytes. Returns (durable_bytes, covered_input_bytes); a short or
+    torn frame (and everything after it) is not counted — those frames are
+    simply re-done on resume (blocks are stateless and idempotent)."""
+    durable = covered = 0
+    try:
+        with open(path, "rb") as f:
+            while True:
+                head = f.read(framed._HEADER.size)
+                if len(head) < framed._HEADER.size:
+                    break
+                magic, flags, _bs, total_len, n_blocks = framed._HEADER.unpack(head)
+                if magic != framed.MAGIC:
+                    raise framed.CorruptInputError("bad frame magic in stream")
+                index_bytes = 4 * n_blocks * (2 if flags & framed.FLAG_CRC else 1)
+                index = f.read(index_bytes)
+                if len(index) < index_bytes:
+                    break
+                payload_bytes = int(np.frombuffer(index, np.uint32, n_blocks).sum())
+                payload = f.read(payload_bytes)
+                if len(payload) < payload_bytes or total_len != chunk:
+                    break
+                durable += framed._HEADER.size + index_bytes + payload_bytes
+                covered += total_len
+    except FileNotFoundError:
+        pass
+    return durable, covered
+
+
 def resume_compress_file(
     in_path: str,
     out_path: str,
@@ -209,14 +239,24 @@ def resume_compress_file(
     durable, _, covered = scan_durable_frames(out_path)
     chunk = blocks_per_frame * config.block_size
     if covered % chunk:
-        # the durable prefix must end on a full frame's input boundary
-        # (only the LAST frame of a finished stream may be short); a short
-        # frame mid-prefix means the previous run finished — verify below.
+        # The durable prefix ends in a short frame. If it completes the
+        # input, the previous run finished — return as-is (dropping any
+        # torn tail bytes past the durable prefix).
         in_size = os.path.getsize(in_path)
         if covered == in_size:
+            if durable != os.path.getsize(out_path):
+                fd = os.open(out_path, os.O_RDWR)
+                try:
+                    os.ftruncate(fd, durable)
+                finally:
+                    os.close(fd)
             return durable
-        # partial progress with a short frame: drop that frame too
-        raise framed.CorruptInputError("torn frame sequence: short mid-stream frame")
+        # Otherwise more input remains (e.g. the input grew after a
+        # finished run, or frame geometry changed between runs): drop the
+        # trailing short frame and restart from the longest CHUNK-ALIGNED
+        # prefix of full frames — the stream stays restartable any number
+        # of times, as the docstring promises.
+        durable, covered = _full_chunk_prefix(out_path, chunk)
     with open(in_path, "rb") as src:
         src.seek(covered)
         fd = os.open(out_path, os.O_CREAT | os.O_RDWR, 0o644)

@@ -36,6 +36,30 @@ def test_stream_resume(sample, tmp_path):
     assert out.read_bytes() == sample.read_bytes()
 
 
+def test_single_durable_frame_with_torn_tail_raises(sample, tmp_path):
+    """A stream killed while writing its SECOND frame (durable prefix = one
+    frame + trailing bytes) must not silently decode to just the first
+    frame's data — it raises like the >=2-durable-frame torn case does."""
+    comp = tmp_path / "c.snpf"
+    out = tmp_path / "o.bin"
+    big = tmp_path / "big.bin"
+    big.write_bytes(read_testdata("html") * 24)  # ~2.4 MB: two stream frames
+    assert main(["compress", str(big), str(comp), "--format", "stream"]) == 0
+    from snappy_tpu.parallel import streaming
+
+    full = comp.read_bytes()
+    durable, nframes, _ = streaming.scan_durable_frames(str(comp))
+    assert nframes >= 2
+    first_end = 0
+    with open(comp, "rb") as f:
+        first_end = len(next(streaming.iter_frames(f)))
+    comp.write_bytes(full[: first_end + 40])  # one frame + torn second
+    from snappy_tpu.core.errors import CorruptInputError
+
+    with pytest.raises(CorruptInputError):
+        main(["decompress", str(comp), str(out)])
+
+
 def test_auto_format_small_is_raw(sample, tmp_path):
     comp = tmp_path / "c.auto"
     small = tmp_path / "small.txt"

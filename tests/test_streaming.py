@@ -172,6 +172,33 @@ class TestKillAndResume:
             assert n == len(raw)
             assert out.read_bytes() == raw
 
+    def test_resume_compress_after_input_grew(self, tmp_path):
+        """A finished stream ends in a short frame; if the INPUT then grows,
+        resume must drop that short frame and continue (not dead-end)."""
+        raw = self._mkdata()
+        src = tmp_path / "in.bin"
+        src.write_bytes(raw)
+        out = tmp_path / "out.snpf"
+        streaming.compress_file(str(src), str(out), blocks_per_frame=2)
+        grown = raw + self._mkdata(3 * (1 << 16) + 99)
+        src.write_bytes(grown)
+        size = streaming.resume_compress_file(str(src), str(out), blocks_per_frame=2)
+        ref = tmp_path / "ref.snpf"
+        streaming.compress_file(str(src), str(ref), blocks_per_frame=2)
+        assert size == len(ref.read_bytes())
+        assert out.read_bytes() == ref.read_bytes()
+
+    def test_resume_compress_finished_truncates_torn_tail(self, tmp_path):
+        raw = self._mkdata()
+        src = tmp_path / "in.bin"
+        src.write_bytes(raw)
+        out = tmp_path / "out.snpf"
+        streaming.compress_file(str(src), str(out), blocks_per_frame=2)
+        full = out.read_bytes()
+        out.write_bytes(full + b"\x99" * 7)  # killed while appending junk
+        assert streaming.resume_compress_file(str(src), str(out), blocks_per_frame=2) == len(full)
+        assert out.read_bytes() == full
+
     def test_scan_durable_frames_counts(self, tmp_path):
         raw = self._mkdata()
         src = tmp_path / "in.bin"
