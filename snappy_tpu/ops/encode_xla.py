@@ -312,21 +312,18 @@ def compress_host(inp: np.ndarray) -> bytes:
         return header
     n_blocks = -(-n // BLOCK_SIZE)
     parts = [header]
+    from . import route
+
     for chunk_start in range(0, n_blocks, MAX_BATCH_BLOCKS):
         chunk_blocks = min(MAX_BATCH_BLOCKS, n_blocks - chunk_start)
-        nb = 1
-        while nb < chunk_blocks:
-            nb <<= 1
-        buf = np.zeros((nb, BLOCK_SIZE + ENC_PAD), np.uint8)
-        blens = np.zeros(nb, np.int32)
+        buf = np.zeros((chunk_blocks, BLOCK_SIZE + ENC_PAD), np.uint8)
+        blens = np.zeros(chunk_blocks, np.int32)
         for i in range(chunk_blocks):
             b = chunk_start + i
             chunk = inp[b * BLOCK_SIZE : (b + 1) * BLOCK_SIZE]
             buf[i, : len(chunk)] = chunk
             blens[i] = len(chunk)
-        out, olens = _best_encoder(nb)(jnp.asarray(buf), jnp.asarray(blens))
-        out = np.asarray(out)
-        olens = np.asarray(olens)
-        for i in range(chunk_blocks):
-            parts.append(out[i, : olens[i]].tobytes())
+        # content-routed: incompressible blocks take the host-native
+        # skip-heuristic path while the device works (ops/route.py)
+        parts.extend(route.compress_blocks_routed(buf, blens, chunk_blocks, _best_encoder))
     return b"".join(parts)

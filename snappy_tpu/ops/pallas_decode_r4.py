@@ -1,4 +1,12 @@
-"""Pallas TPU decoder: lean scalar tag walk + class-partitioned record drains.
+"""PINNED round-4 Pallas decoder (frozen control for within-run A/B).
+
+This file is a verbatim snapshot of ops/pallas_decode.py as of round 4
+(commit 6b4a374). bench.py times it in the SAME process as the current
+kernel so headline movement is falsifiable under the chip's ±15-30%
+run-to-run regime swings (VERDICT r4 task 4). Do not edit.
+
+Original docstring follows.
+
 
 The snappy tag stream is a serial chain (reference src/internal.jl:411-466:
 each tag's length determines where the next begins), so one scalar-core
@@ -87,16 +95,10 @@ LANES = 128
 # src/internal.jl:421-430).
 COMP_PAD = 4
 # Walk chunk: tags per inner fixed-count loop; record arrays hold one
-# chunk plus the no-op sentinel records appended for drain over-read.
-# 128 (not 1024) because the FAR/NEAR copy split classifies against the
-# chunk's starting output position: smaller chunks freeze the snapshot
-# frontier closer to each copy, raising the stall-free FAR share
-# (measured on the corpus: 48.7% at 1024, 70.7% at 256, 78.8% at 128;
-# on-chip A/B: c128 27.1 ms vs c256 41.4 ms vs r4 31.5 ms on the
-# 128-block batch — benchmarks/NEGATIVE_RESULTS.md round-5 addendum).
-CHUNK = 128
-WALK_UNROLL = 16  # tags per walk backedge
-GROUP = 16  # NEAR-copy-drain batch width
+# chunk plus the 8 no-op sentinel records appended for drain over-read.
+CHUNK = 1024
+WALK_UNROLL = 16  # tags per walk backedge (Mosaic backedges are expensive)
+GROUP = 16  # copy-drain batch width
 
 # Unified per-position command word (ONE int32 per byte position — halves
 # the per-block SMEM command DMA vs the old cmdA/cmdB pair). Class bits
@@ -121,7 +123,7 @@ A_VALID_SHIFT = 30  # bit 30: statically valid (or padding)
 A_REAL_SHIFT = 31  # bit 31: real in-stream position
 
 
-def parse_cmds(comp_u8: jnp.ndarray, clens: jnp.ndarray, fold: bool = True):
+def parse_cmds(comp_u8: jnp.ndarray, clens: jnp.ndarray):
     """Candidate-tag parse at every byte position, word-aligned.
 
     comp_u8: uint8[B, C] with C % 4 == 0 and >= COMP_PAD zero slack after
@@ -220,11 +222,8 @@ def parse_cmds(comp_u8: jnp.ndarray, clens: jnp.ndarray, fold: bool = True):
     flags3 = jnp.int32(real_bit | (1 << A_VALID_SHIFT))  # real+valid, lit=0
     flagmask = jnp.int32(real_bit | (1 << A_VALID_SHIFT) | (1 << A_LIT_SHIFT))
 
-    if not fold:
-        folded = outs_a
-    else:
-        folded = []
-    for r in range(4) if fold else []:
+    folded = []
+    for r in range(4):
         a = outs_a[r]
         bw = outs_a[(r + 3) % 4]
         if r >= 1:
@@ -249,25 +248,7 @@ def parse_cmds(comp_u8: jnp.ndarray, clens: jnp.ndarray, fold: bool = True):
         )
         folded.append(jnp.where(fold, merged, a))
 
-    cmds = jnp.stack(folded, axis=-1).reshape(b, c)
-
-    # ---- walk words: a SECOND per-position array holding exactly what the
-    # scalar walk's recurrence needs, with the full input advance in the
-    # LOW bits so the serial chain is load -> and -> add -> select (no
-    # class select on the critical path):
-    #   [31 real][30 valid][29 lit][28:20 n][19:17 cx][16:0 adv]
-    # adv = total input advance (literal: 1+extra+len; copy: 1+taglen);
-    # the output advance is branch-free: olen = adv - cx + n (literal:
-    # n == 0, adv - cx == len; copy: adv == cx, olen == n). Derived
-    # elementwise from the folded command words so the two arrays can
-    # never disagree.
-    lit_b = (cmds >> A_LIT_SHIFT) & 1
-    cx_b = (cmds >> A_CX_SHIFT) & 7
-    n_b = (cmds >> C_N_SHIFT) & 0x1FF
-    adv = jnp.where(lit_b == 1, (cmds & A_LEN_BITS) + cx_b, cx_b)
-    flags_b = cmds & jnp.int32((1 << A_LIT_SHIFT) | (1 << A_VALID_SHIFT) | -(1 << 31))
-    walkw = adv | (cx_b << A_CX_SHIFT) | (n_b << C_N_SHIFT) | flags_b
-    return walkw, cmds
+    return jnp.stack(folded, axis=-1).reshape(b, c)
 
 
 def _roll(vec, shift, *, interpret: bool):
@@ -289,47 +270,40 @@ def _masked_store(ref, row_idx, m, keep, *, interpret: bool):
 def _decode_kernel(
     clen_ref,  # SMEM (1, 1, 1) int32
     ulen_ref,  # SMEM (1, 1, 1) int32
-    walk_ref,  # SMEM (1, 1, NCP) int32: walk words (adv-low layout)
-    cmd_ref,  # SMEM (1, 1, NCP) int32: unified command words (f/n payloads)
+    cmd_ref,  # SMEM (1, 1, NCP) int32: unified command words
     comp_ref,  # VMEM (1, NRC+3, LANES) int32: bytes one-per-lane, row-offset 1
     out_ref,  # VMEM (1, NRU+8, LANES) int32: bytes one-per-lane, row-offset 1
     meta_ref,  # SMEM (1, 1, 2) int32: [ok, produced]
-    lit_src_ref,  # SMEM scratch: literal body comp address
-    lit_op_ref,  # SMEM scratch
-    lit_n_ref,  # SMEM scratch: literal length
-    far_op_ref,  # SMEM scratch: FAR-copy output position
-    far_fn_ref,  # SMEM scratch: FAR-copy f/n payload (the cmd word)
-    near_op_ref,  # SMEM scratch: NEAR-copy output position
-    near_fn_ref,  # SMEM scratch: NEAR-copy f/n payload
-    ovf_ref,  # SMEM scratch: row-crossing literal queue
-    fovf_ref,  # SMEM scratch: row-crossing FAR-copy queue
-    hzq_ref,  # SMEM scratch (NEAR_GROUP,) int32: per-group NEAR hazard queue
-    outa_ref,  # VMEM scratch (NRU+8, LANES) int32: frozen output snapshot
+    lit_src_ref,  # SMEM scratch (CAP,) int32: literal body comp address
+    lit_op_ref,  # SMEM scratch (CAP,) int32
+    lit_n_ref,  # SMEM scratch (CAP,) int32: literal length
+    cpy_ip_ref,  # SMEM scratch (CAP,) int32
+    cpy_op_ref,  # SMEM scratch (CAP,) int32
+    ovf_ref,  # SMEM scratch (CAP,) int32: >2-row literal overflow queue
+    hzq_ref,  # SMEM scratch (GROUP,) int32: per-group copy hazard queue
     *,
     ncp: int,
     nrc: int,
     nru: int,
     interpret: bool,
-    debug_mode: int = 0,  # 0=full, 2=walk only, 3=walk+literals, 4=+far copies
-    chunk: int = CHUNK,
-    near_group: int = GROUP,
+    debug_mode: int = 0,  # 0=full, 2=walk only, 3=walk+literals
+    group: int = GROUP,
+    copy2store: bool = False,  # A/B: always-issue the copy second-row store
 ):
     clen = clen_ref[0, 0, 0]
     ulen = ulen_ref[0, 0, 0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    zero_row = jnp.zeros((1, LANES), jnp.int32)
 
     # Both byte buffers carry one zero guard row below logical row 0 and two
     # above the last logical row (physical index = logical + 1). Valid
     # records index rows in [-1, nrows+1] by construction, so the drains
     # need ONE clamp per record (for corrupt streams whose garbage lengths
     # explode op before the chunk's ok check) instead of a jnp.clip at all
-    # load/store sites — the drains are scalar-issue-bound, so every
+    # seven load/store sites — the drains are scalar-issue-bound, so every
     # removed address op is roughly a cycle per record.
     def row(ref, q):
         return ref[0, q + 1, :].reshape(1, LANES)
-
-    def rowa(q):
-        return outa_ref[q + 1, :].reshape(1, LANES)
 
     # Deterministic output (masked stores leave untouched lanes). 8-row
     # tiles: one store issue covers 8 rows, and the backedge count drops
@@ -342,9 +316,11 @@ def _decode_kernel(
 
     jax.lax.fori_loop(0, (nru + 8) // 8, zrow, 0, unroll=False)
 
-    # ---- generic two-row source builder (blend three rows at phase ph,
-    # roll by shift) --------------------------------------------------------
+    # ---- generic row movers ------------------------------------------------
     def make_m2(src_ref, q0c, ph, shift):
+        """The two rows of 128 source bytes feeding destination rows r and
+        r+1: three consecutive source rows q0c..q0c+2, blended at phase ph
+        and rolled by shift (= d & 127, d = dst - src)."""
         a = row(src_ref, q0c)
         b = row(src_ref, q0c + 1)
         c = row(src_ref, q0c + 2)
@@ -354,74 +330,56 @@ def _decode_kernel(
         return m, m2
 
     # ---- the walk ----------------------------------------------------------
-    # Serial recurrence: ONE dependent SMEM load (walk word) -> and -> add.
-    # The command word load (f/n payload for copy classification + records)
-    # is INDEPENDENT of the chain, so it pipelines underneath. Each copy is
-    # classified here, where op is known: FAR copies source bytes entirely
-    # below this chunk's starting output position (cop0) — their sources
-    # are frozen in the snapshot buffer, so the FAR drain pipelines with no
-    # load-after-store ordering stalls (the measured ~70-cycle Mosaic
-    # hazard; benchmarks/NEGATIVE_RESULTS.md) and no self-overlap is
-    # possible (f < n would imply src + n > op > cop0). NEAR copies take
-    # the staged-group path. At CHUNK=256, ~71% of corpus copies are FAR
-    # (benchmarks/farsweep, round 5).
-    def walk_chunk(ip, op, okw, cop0):
+    def walk_chunk(ip, op, okw):
+        """Run CHUNK candidate tags from (ip, op); record each tag into its
+        class array pre-digested: literals as (body address, op, length) so
+        the literal drain never touches cmdA, copies as (ip, op). Returns
+        (ip, op, okw, n_lit, n_cpy)."""
+
         def step(state):
-            ip, op, okw, tl, tf, tn = state
-            v = walk_ref[0, 0, ip]
-            fb = cmd_ref[0, 0, ip]  # independent load: pipelines under the chain
-            adv = v & A_LEN_BITS
-            cxv = (v >> A_CX_SHIFT) & 7
-            nv = (v >> C_N_SHIFT) & 0x1FF
-            olen = adv - cxv + nv
-            rl = jax.lax.shift_right_logical(v, A_REAL_SHIFT)
+            ip, op, okw, tl, tc = state
+            v = cmd_ref[0, 0, ip]
+            a = ip + ((v >> A_CX_SHIFT) & 7)  # literal body / copy successor
             lit = (v >> A_LIT_SHIFT) & 1
-            fa = (1 - lit) & (op - (fb & C_F_BITS) + nv <= cop0).astype(jnp.int32)
-            ne = 1 - lit - fa
-            lit_src_ref[tl] = ip + cxv
+            length = jnp.where(lit == 1, v & A_LEN_BITS, (v >> C_N_SHIFT) & 0x1FF)
+            rl = jax.lax.shift_right_logical(v, A_REAL_SHIFT)
+            lit_src_ref[tl] = a
             lit_op_ref[tl] = op
-            lit_n_ref[tl] = olen
-            far_op_ref[tf] = op
-            far_fn_ref[tf] = fb
-            near_op_ref[tn] = op
-            near_fn_ref[tn] = fb
+            lit_n_ref[tl] = length
+            cpy_ip_ref[tc] = ip
+            cpy_op_ref[tc] = op
             okw &= v
-            ip = ip + adv
-            op = op + olen
-            # real-bit gate: past the stream end (pads) the counters freeze,
-            # so drains never see dead records.
-            return ip, op, okw, tl + (lit & rl), tf + (fa & rl), tn + (ne & rl)
+            ip = a + lit * length
+            op = op + length
+            # real-bit gate: once the walk runs past its stream end (pads)
+            # the counters freeze, so drains never see dead records.
+            return ip, op, okw, tl + (lit & rl), tc + (rl & (1 - lit))
 
         def body(i, state):
             for _ in range(WALK_UNROLL):
                 state = step(state)
             return state
 
-        z = jnp.int32(0)
-        ip, op, okw, tl, tf, tn = jax.lax.fori_loop(
-            0, chunk // WALK_UNROLL, body, (ip, op, okw, z, z, z)
+        ip, op, okw, tl, tc = jax.lax.fori_loop(
+            0, CHUNK // WALK_UNROLL, body, (ip, op, okw, jnp.int32(0), jnp.int32(0))
         )
-        # sentinels so drains may over-read a partial tail group (op=0,
-        # fn=0 parses as n == 0: keeps nothing, never hazardous).
-        sentinel = ncp - 1
-        for j in range(8):
+        # sentinels so drains may over-read a partial tail group
+        sentinel = ncp - 1  # past-the-stream: pad word there has n=0 (no-op)
+        for j in range(group):
             lit_src_ref[tl + j] = sentinel
             lit_op_ref[tl + j] = 0
             lit_n_ref[tl + j] = 0
-            far_op_ref[tf + j] = 0
-            far_fn_ref[tf + j] = 0
-        for j in range(near_group):
-            near_op_ref[tn + j] = 0
-            near_fn_ref[tn + j] = 0
-        return ip, op, okw, tl, tf, tn
+            cpy_ip_ref[tc + j] = sentinel
+            cpy_op_ref[tc + j] = 0
+        return ip, op, okw, tl, tc
 
     # ---- literal drain -----------------------------------------------------
     # Sources live in comp_ref, which is never stored to, so these moves
-    # pipeline freely. One row store per record in the hot loop; records
-    # crossing an output row queue branch-free and finish in a cleanup
-    # pass (a pl.when region inside the pipelined loop would serialize it:
-    # E8, benchmarks/NEGATIVE_RESULTS.md).
-    def drain_literals(tl):
+    # pipeline at the measured ~7-cycle masked-store floor. The hot loop
+    # covers the first two destination rows; literals spanning more (0.1%
+    # of corpus records) queue their remaining rows for a cleanup loop so
+    # no dynamic inner loop pollutes the pipeline.
+    def drain_literals(tl, ovf_t_ref):
         def one(t, nq):
             src = lit_src_ref[t]
             opv = lit_op_ref[t]
@@ -432,13 +390,19 @@ def _decode_kernel(
             r = jnp.minimum(opv >> 7, nru - 1)  # binds only on corrupt streams
             lo = opv & 127
             q0 = jnp.clip((r * LANES - d) >> 7, -1, nrc - 1)
+            # ONE row store per record in the hot loop: a second always-
+            # issued store measured ~+30 cyc/record and a pl.when region
+            # serialized the loop entirely (E8, exp_vector_walk.py), so
+            # records crossing an output row queue branch-free and finish
+            # in the cleanup pass below (~15-20% of corpus records).
             a = row(comp_ref, q0)
             b = row(comp_ref, q0 + 1)
             m = _roll(jnp.where(lane >= ph, a, b), shift, interpret=interpret)
             keep = (lane >= lo) & (lane < lo + n)
             _masked_store(out_ref, r + 1, m, keep, interpret=interpret)
+
             long = lo + n > LANES
-            ovf_ref[nq] = t
+            ovf_t_ref[nq] = t
             return nq + long.astype(jnp.int32)
 
         def body(g, nq):
@@ -450,7 +414,7 @@ def _decode_kernel(
         nq = jax.lax.fori_loop(0, pl.cdiv(tl, 8), body, jnp.int32(0), unroll=False)
 
         def finish(j, _):
-            t = ovf_ref[j]
+            t = ovf_t_ref[j]
             src = lit_src_ref[t]
             opv = lit_op_ref[t]
             n = lit_n_ref[t]
@@ -475,67 +439,7 @@ def _decode_kernel(
 
         jax.lax.fori_loop(0, nq, finish, 0, unroll=False)
 
-    # ---- FAR copy drain ----------------------------------------------------
-    # Sources are frozen in the snapshot (outa_ref), which is only written
-    # BETWEEN chunks, so this loop pipelines exactly like the literal
-    # drain: no ordering stalls, no hazard tests, no self-overlap. Records
-    # crossing an output row (folded copies, ~4% of FARs) queue and finish
-    # with ONE extra store each — their source rows also live in the
-    # snapshot, so the cleanup pass stays stall-free too.
-    def drain_far(tf, okd):
-        def one(t, st):
-            fq, oks = st
-            opv = far_op_ref[t]
-            fn = far_fn_ref[t]
-            f = fn & C_F_BITS
-            n = (fn >> C_N_SHIFT) & 0x1FF
-            oks |= opv - f  # src >= 0 validity (sign-bit accumulate)
-            shift = f & 127
-            ph = (-shift) & 127
-            r = jnp.minimum(opv >> 7, nru - 1)
-            lo = opv & 127
-            # upper bound automatic (f >= 0 so q0 <= r <= nru-1)
-            q0 = jnp.maximum((r * LANES - f) >> 7, -1)
-            a = rowa(q0)
-            b = rowa(q0 + 1)
-            m = _roll(jnp.where(lane >= ph, a, b), shift, interpret=interpret)
-            keep = (lane >= lo) & (lane < lo + n)
-            _masked_store(out_ref, r + 1, m, keep, interpret=interpret)
-            fovf_ref[fq] = t
-            return fq + (lo + n > LANES).astype(jnp.int32), oks
-
-        def body(g, st):
-            base = g * 8
-            for k in range(8):
-                st = one(base + k, st)
-            return st
-
-        fq, oks = jax.lax.fori_loop(
-            0, pl.cdiv(tf, 8), body, (jnp.int32(0), jnp.int32(0)), unroll=False
-        )
-
-        def finish(j, _):
-            t = fovf_ref[j]
-            opv = far_op_ref[t]
-            fn = far_fn_ref[t]
-            f = fn & C_F_BITS
-            n = (fn >> C_N_SHIFT) & 0x1FF
-            shift = f & 127
-            ph = (-shift) & 127
-            r = jnp.minimum(opv >> 7, nru - 1)
-            lo = opv & 127
-            rem = lo + n - LANES  # < LANES since n <= 128 after folding
-            qb = jnp.clip(((r + 1) * LANES - f) >> 7, -1, nru - 1)
-            a = rowa(qb)
-            b = rowa(qb + 1)
-            mb = _roll(jnp.where(lane >= ph, a, b), shift, interpret=interpret)
-            _masked_store(out_ref, r + 2, mb, lane < rem, interpret=interpret)
-            return 0
-
-        jax.lax.fori_loop(0, fq, finish, 0, unroll=False)
-        return okd & (oks >= 0)
-
-    # ---- NEAR copy drain ---------------------------------------------------
+    # ---- copy drain --------------------------------------------------------
     def hazard_move(src, dst, n):
         """Re-move for one hazardous record (stale group loads). All bytes
         below ``dst`` ARE materialized by now, so a single reload suffices
@@ -543,7 +447,8 @@ def _decode_kernel(
         reference src/internal.jl:469-509) extend the loaded period
         IN-REGISTER by lane-doubling rolls — no load-store ping-pong, so
         the whole record pays the reload ordering stall once (plus once
-        more for the rare row-crossing tail)."""
+        more for the rare row-crossing tail) instead of once per
+        growing-step sub-move."""
         f = dst - src
         shift = f & 127
         ph = (-shift) & 127
@@ -552,8 +457,9 @@ def _decode_kernel(
         q0 = jnp.clip((r * LANES - f) >> 7, -1, nru - 1)
         m, _m2 = make_m2(out_ref, q0, ph, shift)
         # Lanes [lo, lo+f) of m hold bytes that predate this record; for
-        # RLE each doubling roll makes lanes [lo+it, lo+2*it) valid too.
-        # Stops instantly when f >= n.
+        # RLE each doubling roll makes lanes [lo+it, lo+2*it) valid too
+        # (out[dst+j] = out[dst+j-f] = lane j-it's byte). Stops instantly
+        # when f >= n.
         row1 = jnp.minimum(n, LANES - lo)  # bytes this record puts in row r
 
         def dbl(state):
@@ -582,51 +488,78 @@ def _decode_kernel(
             mb, _ = jax.lax.while_loop(lambda s: s[1] < rem, dbl2, (mb, f))
             _masked_store(out_ref, r + 2, mb, lane < rem, interpret=interpret)
 
-    def drain_near(tn, okd):
-        """Staged groups over out_ref: all loads before any store, so the
-        ~70-cycle load-after-store ordering stall is paid once per group.
-        Hazards (source at-or-past the group leader's output: RLE
-        self-overlap and within-group sources) and row-crossing records
-        queue branch-free and re-run serially after the group's stores."""
-
+    def drain_copies(tc, okd, hzq_ref):
         def fallback(j, _):
             t = hzq_ref[j]
-            opv = near_op_ref[t]
-            fn = near_fn_ref[t]
-            f = fn & C_F_BITS
-            n = (fn >> C_N_SHIFT) & 0x1FF
+            ip = cpy_ip_ref[t]
+            opv = cpy_op_ref[t]
+            wb = cmd_ref[0, 0, ip]
+            f = wb & C_F_BITS
+            n = (wb >> C_N_SHIFT) & 0x1FF
             hazard_move(opv - f, opv, n)
             return 0
 
         def grp(g, oks):
-            base = g * near_group
-            lead_op = near_op_ref[base]
+            base = g * group
+            lead_op = cpy_op_ref[base]
+            # Load phase: all source rows read before any store (one
+            # ordering stall per group). Only the blended/rolled rows are
+            # staged as vectors — masks are rebuilt from the (cheap,
+            # register-resident) scalars in the store phase, halving the
+            # group's live vector registers vs staging keep/keep2 too.
             staged = []
             nh = jnp.int32(0)
-            for k in range(near_group):
+            for k in range(group):
                 t = base + k
-                opv = near_op_ref[t]
-                fn = near_fn_ref[t]
-                f = fn & C_F_BITS
-                n = (fn >> C_N_SHIFT) & 0x1FF
+                ip = cpy_ip_ref[t]
+                opv = cpy_op_ref[t]
+                wb = cmd_ref[0, 0, ip]
+                f = wb & C_F_BITS
+                n = (wb >> C_N_SHIFT) & 0x1FF
                 src = opv - f
-                # validity (src >= 0) accumulates as a sign-bit OR; sentinel
-                # records have f == 0, n == 0, opv == 0: never poisoning,
-                # never hazardous.
+                # validity (src >= 0) accumulates as a sign-bit OR; records
+                # with n == 0 (sentinels/invalid) have f == 0, src = opv >= 0,
+                # so they never poison the accumulator.
                 oks |= src
+                # n bytes from [src, src+n): dst - src = f
                 shift = f & 127
                 ph = (-shift) & 127
                 r = jnp.minimum(opv >> 7, nru - 1)
                 lo = opv & 127
+                # upper bound is automatic (f >= 0 so q0 <= r <= nru-1)
                 q0 = jnp.maximum((r * LANES - f) >> 7, -1)
-                hz = (src + n > lead_op) | (lo + n > LANES)
-                a = row(out_ref, q0)
-                bq = row(out_ref, q0 + 1)
-                m = _roll(jnp.where(lane >= ph, a, bq), shift, interpret=interpret)
-                staged.append((t, r, lo, n, m, hz))
-            for t, r, lo, n, m, hz in staged:
+                # Hazard: source bytes not yet written when the group's
+                # loads ran — i.e. the span reaches at or past the group
+                # leader's output position (groupmates write [lead_op, .);
+                # for the leader itself this reduces to exactly the RLE
+                # self-overlap f < n; sentinels carry opv = 0 and n == 0,
+                # never hazardous). Byte-precise: sharing a ROW with a
+                # mate's store is harmless, kept lanes never use its bytes.
+                # Hazards AND row-crossing records queue branch-free and
+                # redo serially after the group's stores (in order, so
+                # chained hazards stay right): the hot path issues ONE
+                # store per record — an always-issued second store
+                # measured ~+30 cyc/record (E8, exp_vector_walk.py) —
+                # and hazard_move rewrites both rows of queued records
+                # from materialized output, which is idempotent for pure
+                # crossings.
+                if copy2store:
+                    hz = src + n > lead_op
+                    m, m2 = make_m2(out_ref, q0, ph, shift)
+                    staged.append((t, r, lo, n, m, m2, hz))
+                else:
+                    hz = (src + n > lead_op) | (lo + n > LANES)
+                    a = row(out_ref, q0)
+                    bq = row(out_ref, q0 + 1)
+                    m = _roll(jnp.where(lane >= ph, a, bq), shift, interpret=interpret)
+                    staged.append((t, r, lo, n, m, None, hz))
+            for t, r, lo, n, m, m2, hz in staged:
                 keep = (lane >= lo) & (lane < lo + n)
                 _masked_store(out_ref, r + 1, m, keep, interpret=interpret)
+                if copy2store:
+                    _masked_store(
+                        out_ref, r + 2, m2, lane < lo + n - LANES, interpret=interpret
+                    )
                 hzq_ref[nh] = t
                 nh += hz.astype(jnp.int32)
 
@@ -636,56 +569,31 @@ def _decode_kernel(
 
             return oks
 
-        oks = jax.lax.fori_loop(0, pl.cdiv(tn, near_group), grp, jnp.int32(0), unroll=False)
+        oks = jax.lax.fori_loop(0, pl.cdiv(tc, group), grp, jnp.int32(0), unroll=False)
         return okd & (oks >= 0)
 
     # ---- chunked outer loop ------------------------------------------------
-    # Per chunk: refresh the snapshot with the rows the previous chunk
-    # wrote, walk CHUNK tags (recording 3 record classes), then drain
-    # literals -> FAR copies -> NEAR copies. The class split preserves
-    # stream order where it matters: FAR sources lie entirely below cop0
-    # (frozen), so FAR records depend on nothing in this chunk; NEAR
-    # records run last, when all literals and FAR output are materialized,
-    # with the group-hazard machinery covering intra-NEAR dependencies.
-    def chunk_fn(state):
-        ip, op, ok, copp = state
-        cop0 = op
-
-        def cp(q, _):
-            outa_ref[q + 1, :] = out_ref[0, q + 1, :]
-            return 0
-
-        if debug_mode != 2 and debug_mode != 3:
-            jax.lax.fori_loop(copp >> 7, jnp.minimum((cop0 >> 7) + 1, nru), cp, 0, unroll=False)
-        ip, op, okw, tl, tf, tn = walk_chunk(ip, op, jnp.int32(-1), cop0)
-        ok &= ((okw >> A_VALID_SHIFT) & 1) > 0
+    def chunk(state):
+        ip, op, ok = state
+        ip, op, okw, tl, tc = walk_chunk(ip, op, jnp.int32(-1))
+        ok &= (okw >> A_VALID_SHIFT) & 1 > 0
         if debug_mode != 2:
-            drain_literals(tl)
-        if debug_mode in (0, 4):
-            ok = drain_far(tf, ok)
+            drain_literals(tl, ovf_ref)
         if debug_mode == 0:
-            ok = drain_near(tn, ok)
-        return ip, op, ok, cop0
+            ok = drain_copies(tc, ok, hzq_ref)
+        return ip, op, ok
 
-    ip, op, ok, _ = jax.lax.while_loop(
+    ip, op, ok = jax.lax.while_loop(
         lambda s: (s[0] < clen) & s[2] & (s[1] <= ulen),
-        chunk_fn,
-        (jnp.int32(0), jnp.int32(0), jnp.bool_(True), jnp.int32(0)),
+        chunk,
+        (jnp.int32(0), jnp.int32(0), jnp.bool_(True)),
     )
 
     meta_ref[0, 0, 0] = (ok & (op == ulen)).astype(jnp.int32)
     meta_ref[0, 0, 1] = op
 
 
-def _build(
-    cmax_padded: int,
-    out_size: int,
-    interpret: bool,
-    debug_mode: int = 0,
-    chunk: int = CHUNK,
-    near_group: int = GROUP,
-    fold: bool = True,
-):
+def _build(cmax_padded: int, out_size: int, interpret: bool, debug_mode: int = 0, group: int = GROUP, copy2store: bool = False):
     if out_size % LANES:
         raise ValueError(f"out_size must be a multiple of {LANES}")
     cmax_padded = max(cmax_padded, COMP_PAD + 1)  # degenerate empty streams
@@ -701,36 +609,33 @@ def _build(
         nru=nru,
         interpret=interpret,
         debug_mode=debug_mode,
-        chunk=chunk,
-        near_group=near_group,
+        group=group,
+        copy2store=copy2store,
     )
-    cap = chunk + max(8, near_group)
 
     def fn(comp_u8: jnp.ndarray, clens: jnp.ndarray, ulens: jnp.ndarray):
         b = comp_u8.shape[0]
         if comp_u8.shape[1] < ncp:
             comp_u8 = jnp.pad(comp_u8, ((0, 0), (0, ncp - comp_u8.shape[1])))
         comp_u8 = comp_u8[:, :ncp]
-        walkw, cmds = parse_cmds(comp_u8, clens, fold)
+        cmds = parse_cmds(comp_u8, clens)
         comp_i32 = comp_u8.astype(jnp.int32).reshape(b, nrc, LANES)
         comp_i32 = jnp.pad(comp_i32, ((0, 0), (1, 2), (0, 0)))  # guard rows
-        cmdspec = pl.BlockSpec(
-            # single-buffered: a double-buffered window at wide cmax would
-            # crowd the 1 MiB SMEM; the lost DMA overlap is negligible next
-            # to the per-block walk/drain time.
-            (1, 1, ncp),
-            lambda i: (i, 0, 0),
-            memory_space=pltpu.SMEM,
-            pipeline_mode=pl.Buffered(buffer_count=1),
-        )
         out_rows, meta = pl.pallas_call(
             kernel,
             grid=(b,),
             in_specs=[
                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-                cmdspec,
-                cmdspec,
+                # single-buffered: a double-buffered window at wide cmax
+                # would crowd the 1 MiB SMEM; the lost DMA overlap is
+                # negligible next to the per-block walk/drain time.
+                pl.BlockSpec(
+                    (1, 1, ncp),
+                    lambda i: (i, 0, 0),
+                    memory_space=pltpu.SMEM,
+                    pipeline_mode=pl.Buffered(buffer_count=1),
+                ),
                 pl.BlockSpec((1, nrc + 3, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
@@ -741,16 +646,19 @@ def _build(
                 jax.ShapeDtypeStruct((b, nru + 8, LANES), jnp.int32),
                 jax.ShapeDtypeStruct((b, 1, 2), jnp.int32),
             ),
-            scratch_shapes=[pltpu.SMEM((cap,), jnp.int32)] * 9  # records + queues
-            + [
-                pltpu.SMEM((max(8, near_group),), jnp.int32),  # hazard queue
-                pltpu.VMEM((nru + 8, LANES), jnp.int32),  # snapshot
+            scratch_shapes=[
+                pltpu.SMEM((CHUNK + group,), jnp.int32),
+                pltpu.SMEM((CHUNK + group,), jnp.int32),
+                pltpu.SMEM((CHUNK + group,), jnp.int32),
+                pltpu.SMEM((CHUNK + group,), jnp.int32),
+                pltpu.SMEM((CHUNK + group,), jnp.int32),
+                pltpu.SMEM((CHUNK + group,), jnp.int32),
+                pltpu.SMEM((group,), jnp.int32),
             ],
             interpret=interpret,
         )(
             clens.reshape(b, 1, 1).astype(jnp.int32),
             ulens.reshape(b, 1, 1).astype(jnp.int32),
-            walkw.reshape(b, 1, ncp),
             cmds.reshape(b, 1, ncp),
             comp_i32,
         )

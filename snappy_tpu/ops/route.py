@@ -1,0 +1,131 @@
+"""Content-routed block encoding: incompressible blocks bypass the device.
+
+The reference's growing-stride skip heuristic makes incompressible input
+nearly free (reference src/internal.jl:162-172): it probes sparsely and
+emits one long literal. The device encoder has no such bail-out — its
+kv-sort candidate prepass costs the same for jpeg as for html (VERDICT r4
+"missing" #3). Routing mirrors the heuristic's EFFECT at block
+granularity:
+
+  1. a ~30 us/block host detector samples 4-byte grams at stride 16 and
+     measures their duplicate ratio — incompressible corpus blocks (jpeg,
+     the pdf's image stream) measure < 0.02, every compressible corpus
+     block >= 0.23 (round-5 measurement, benchmarks/NEGATIVE_RESULTS.md);
+  2. detected blocks are compressed ON HOST by the C++ greedy encoder
+     (native/snappy_native.cpp) — the same greedy algorithm as libsnappy
+     (byte-identical output on every corpus block, round-5 measurement),
+     running at 3-6 GB/s on incompressible data thanks to its own skip
+     heuristic;
+  3. the remaining blocks take the batched device encoder; the host
+     natives run while the device dispatch is in flight (JAX dispatch is
+     async), so detected blocks cost approximately nothing end-to-end.
+
+Density stays gate-safe: routed blocks compress to exactly what libsnappy
+would emit on them, and blocks with real matches stay on the device path,
+which is strictly denser than libsnappy (exact kv-sort candidates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+#: sampled-gram duplicate ratio below which a block is treated as
+#: incompressible (observed corpus gap: <= 0.017 vs >= 0.23)
+DUP_THRESHOLD = 0.05
+#: gram sampling stride for the detector
+DETECT_STRIDE = 16
+
+
+def dup_ratios(buf: np.ndarray, blens: np.ndarray, n_blocks: int) -> np.ndarray:
+    """Sampled 4-gram duplicate ratio per block (host, ~30 us/block)."""
+    out = np.ones(n_blocks, np.float32)
+    for i in range(n_blocks):
+        n = int(blens[i]) - 3
+        if n < 64:
+            continue  # tiny blocks: device path (routing gains nothing)
+        idx = np.arange(0, n, DETECT_STRIDE)
+        b = buf[i]
+        w = (
+            b[idx].astype(np.uint32)
+            | (b[idx + 1].astype(np.uint32) << 8)
+            | (b[idx + 2].astype(np.uint32) << 16)
+            | (b[idx + 3].astype(np.uint32) << 24)
+        )
+        out[i] = 1.0 - len(np.unique(w)) / len(w)
+    return out
+
+
+def native_available() -> bool:
+    try:
+        from ..native import runtime as nat
+
+        return nat.available()
+    except ImportError:
+        return False
+
+
+def _native_block_stream(block: bytes) -> bytes:
+    """Headerless tag stream for one block via the C++ greedy encoder."""
+    from ..native import runtime as nat
+
+    s = nat.compress(block)
+    _, hdr = nat.uncompressed_length(s)
+    return s[hdr:]
+
+
+def dispatch_routed(buf: np.ndarray, blens: np.ndarray, n_blocks: int, encoder_for):
+    """Async routed encode of ``n_blocks`` rows of (buf, blens).
+
+    ``encoder_for(nb)`` must return the batched device encoder for a
+    padded block count nb. Returns a ticket for :func:`assemble_routed`.
+    The device dispatch is issued BEFORE the host natives run, so the two
+    paths overlap.
+    """
+    if not native_available():
+        host_idx = np.zeros(0, np.int64)
+    else:
+        ratios = dup_ratios(buf, blens, n_blocks)
+        host_idx = np.flatnonzero(ratios < DUP_THRESHOLD)
+    dev_idx = (
+        np.setdiff1d(np.arange(n_blocks), host_idx) if len(host_idx) else np.arange(n_blocks)
+    )
+
+    ticket_dev = None
+    if len(dev_idx):
+        nb = 1
+        while nb < len(dev_idx):
+            nb <<= 1
+        dbuf = np.zeros((nb,) + buf.shape[1:], buf.dtype)
+        dbuf[: len(dev_idx)] = buf[dev_idx]
+        dlens = np.zeros(nb, np.int32)
+        dlens[: len(dev_idx)] = blens[dev_idx]
+        out, olens = encoder_for(nb)(jnp.asarray(dbuf), jnp.asarray(dlens))
+        ticket_dev = (out, olens)
+
+    # host natives run while the device dispatch is in flight
+    native_streams = {
+        int(i): _native_block_stream(buf[i, : blens[i]].tobytes()) for i in host_idx
+    }
+    return (ticket_dev, dev_idx, native_streams, n_blocks)
+
+
+def assemble_routed(ticket) -> list[bytes]:
+    """Fence the device part and return per-block tag streams in order."""
+    ticket_dev, dev_idx, native_streams, n_blocks = ticket
+    streams: list[bytes | None] = [None] * n_blocks
+    if ticket_dev is not None:
+        out, olens = ticket_dev
+        out = np.asarray(out)
+        olens = np.asarray(olens)
+        for j, i in enumerate(dev_idx):
+            streams[int(i)] = out[j, : olens[j]].tobytes()
+    for i, s in native_streams.items():
+        streams[i] = s
+    return streams  # type: ignore[return-value]
+
+
+def compress_blocks_routed(buf: np.ndarray, blens: np.ndarray, n_blocks: int, encoder_for) -> list[bytes]:
+    return assemble_routed(dispatch_routed(buf, blens, n_blocks, encoder_for))

@@ -58,7 +58,7 @@ def dispatch_compress(data, config: FrameConfig = DEFAULT_FRAME_CONFIG, mesh=Non
     bs = config.block_size
     n_blocks = -(-n // bs) if n else 0
     if n_blocks == 0:
-        return (None, None, inp, 0, config)
+        return ("batch", None, inp, 0, config)
     nb = _bucket(n_blocks)
     if mesh is not None:
         nb = distributed.pad_block_count(nb, mesh.devices.size)
@@ -66,23 +66,34 @@ def dispatch_compress(data, config: FrameConfig = DEFAULT_FRAME_CONFIG, mesh=Non
     with trace_annotation("framed.dispatch_compress"):
         if mesh is not None:
             out, olens = distributed.compress_blocks(buf, blens, mesh, min_profit=config.min_profit)
-        else:
-            out, olens = block_encoder(nb, bs, config.min_profit)(
-                jnp.asarray(buf), jnp.asarray(blens)
-            )
-    return (out, olens, inp, n_blocks, config)
+            return ("batch", (out, olens), inp, n_blocks, config)
+        # single-host: content-routed — incompressible blocks take the
+        # host-native skip-heuristic path while the device dispatch is in
+        # flight (ops/route.py; mirrors reference src/internal.jl:162-172)
+        from ..ops import route
+
+        rt = route.dispatch_routed(
+            buf, blens, n_blocks, lambda nbk: block_encoder(nbk, bs, config.min_profit)
+        )
+    return ("routed", rt, inp, n_blocks, config)
 
 
 def assemble_compress(ticket) -> bytes:
     """Fence the device results of dispatch_compress and build the frame."""
-    out, olens, inp, n_blocks, config = ticket
+    kind, payload, inp, n_blocks, config = ticket
     if n_blocks == 0:
         return framed.build_frame([], [], 0, config)
     n = len(inp)
     bs = config.block_size
-    out = np.asarray(out)
-    olens = np.asarray(olens)
-    streams = [out[i, : olens[i]].tobytes() for i in range(n_blocks)]
+    if kind == "routed":
+        from ..ops import route
+
+        streams = route.assemble_routed(payload)
+    else:
+        out, olens = payload
+        out = np.asarray(out)
+        olens = np.asarray(olens)
+        streams = [out[i, : olens[i]].tobytes() for i in range(n_blocks)]
     raws = [inp[i * bs : min((i + 1) * bs, n)].tobytes() for i in range(n_blocks)] if config.checksum else None
     return framed.build_frame(streams, raws, n, config)
 
