@@ -371,21 +371,40 @@ int64_t snappy_tpu_scan_blocks(const uint8_t* in, size_t n, uint64_t ulen,
     if ((c & 3) != 0) {
       const size_t offset = (entry & 0x700) + trailer;
       if (offset == 0 || op < offset || ulen - op < len) return -2;
-      if (op - offset < seg_start) return -1;  // reaches behind the segment
-      // Valid but unrepresentable in the Pallas kernel's 16-bit offset
-      // field (COPY_4 with a wide offset): decline so the caller falls
-      // back — the scan's contract must match the kernel's field widths.
-      if (offset > 0xffff) return -1;
+      // A copy reaching behind its segment start is a real cross-segment
+      // dependency. MERGE the segment into its predecessor(s) instead of
+      // giving up: the kernel's output buffer and 17-bit fields cover
+      // segments up to 128 KiB of output (the cap check below declines
+      // the rest), so back-references crossing one 64 KiB mark stay on
+      // the fast path. oplens[blk-1] is rewritten at the merged
+      // segment's eventual closure.
+      while (op - offset < seg_start) {
+        if (blk < 2) return -1;
+        --blk;
+        seg_start -= oplens[blk - 1];
+      }
+      // Valid but unrepresentable in the Pallas kernel's 17-bit offset
+      // field: decline so the caller falls back — the scan's contract
+      // must match the kernel's field widths (in-segment offsets fit
+      // 17 bits whenever the segment-output cap below holds, so this
+      // binds only on streams the cap also declines).
+      if (offset > 0x1ffff) return -1;
       op += len;
     } else {
       const size_t lit = len + trailer;
       if (ip > n || n - ip < lit || ulen - op < lit) return -2;
-      // Valid long literal (> 64 KiB) exceeds the kernel's 17-bit literal
-      // length field: decline, don't let the kernel flag it corrupt.
-      if (lit > 0x10000) return -1;
+      // Valid long literal past the kernel's literal-length field
+      // (17 bits minus tag headroom): decline, don't let the kernel
+      // flag it corrupt.
+      if (lit > 0x1fff8) return -1;
       ip += lit;
       op += lit;
     }
+    // A tag may overshoot the 64 KiB segmentation mark by its own output;
+    // the kernel's fixed output buffer (and its field widths) cover
+    // exactly two marks' worth. Segments a single tag stretches past
+    // 128 KiB fall back to the windowed decoder.
+    if (op - seg_start > (1u << 17)) return -1;
   }
   if (op != ulen) return -2;
   if (blk > 0) oplens[blk - 1] = static_cast<uint32_t>(op - seg_start);

@@ -101,19 +101,22 @@ GROUP = 16  # NEAR-copy-drain batch width
 # Unified per-position command word (ONE int32 per byte position — halves
 # the per-block SMEM command DMA vs the old cmdA/cmdB pair). Class bits
 # live at fixed positions; the payload layout is class-dependent:
-#   literal: bits 0-16 output length (<= 65536)
-#   copy:    bits 0-15 offset f (valid copies never exceed 65535: a wider
-#            offset cannot satisfy f <= op inside a <= 64 KiB block, and
-#            the raw-path segmenter declines streams that would need one —
-#            so such positions parse as INVALID, which keeps corrupt
-#            COPY_4 offsets detectably bad); bits 20-28 copy length
-#            (<= 128 after same-offset chain folding)
+#   literal: bits 0-16 output length (<= 131064: covers the <= 128 KiB
+#            output segments non-blocking encoders produce)
+#   copy:    bits 0-16 offset f (17 bits for the same reason; wider
+#            offsets cannot satisfy f <= op in a supported segment and
+#            parse as INVALID, keeping corrupt COPY_4 offsets detectably
+#            bad); bits 20-28 copy length (<= 128 after same-offset chain
+#            folding)
 # shared:  bits 17-19 input advance minus the literal body (cx);
 #          bit 29 is-literal; bit 30 statically-valid (or padding);
 #          bit 31 real (a position inside the stream — pads clear it so
 #          record counters freeze once a walk runs past its stream end).
 A_LEN_BITS = 0x1FFFF  # literal: bits 0-16 output length (0 for pad/invalid)
-C_F_BITS = 0xFFFF  # copy: bits 0-15 offset
+C_F_BITS = 0x1FFFF  # copy: bits 0-16 offset (17 bits: segments from
+# non-blocking encoders may span up to 128 KiB of output, so in-segment
+# back-references reach offsets up to 131071 — reference
+# src/internal.jl:28-30 requires accepting them)
 A_CX_SHIFT = 17  # bits 17-19: input advance minus the literal body
 C_N_SHIFT = 20  # copy: bits 20-28 length (<=128 folded; 0 for pad/invalid/literal)
 A_LIT_SHIFT = 29  # bit 29: is-literal
@@ -174,8 +177,12 @@ def parse_cmds(comp_u8: jnp.ndarray, clens: jnp.ndarray, fold: bool = True):
             | jnp.where(extra >= 4, b4 << 24, 0)
         )
         lit_m1 = jnp.where(extra > 0, trailer, hi6.astype(jnp.uint32))
-        poison = lit_m1 > 0xFFFF  # cannot be valid inside a 64 KiB block
-        lit_len = (jnp.minimum(lit_m1, jnp.uint32(0xFFFF)) + 1).astype(jnp.int32)
+        # literal lengths up to the 17-bit field (minus tag-byte headroom so
+        # the walk word's input-advance field cannot overflow); segments
+        # that would need more are declined by the native segmenter and
+        # take the windowed XLA fallback
+        poison = lit_m1 > jnp.uint32(A_LEN_BITS - 8)
+        lit_len = (jnp.minimum(lit_m1, jnp.uint32(A_LEN_BITS - 8)) + 1).astype(jnp.int32)
         cons_lit = 1 + extra + lit_len
 
         # Copy: COPY_1/2/4 length and offset fields (reference
@@ -190,8 +197,8 @@ def parse_cmds(comp_u8: jnp.ndarray, clens: jnp.ndarray, fold: bool = True):
         f = jnp.minimum(f_raw, jnp.uint32(C_F_BITS)).astype(jnp.int32)
 
         valid_lit = (pos + cons_lit <= clen) & ~poison
-        # Offsets above 65535 can never satisfy f <= op in a supported
-        # block/segment (see the layout comment): mark INVALID so corrupt
+        # Offsets above the 17-bit field can never satisfy f <= op in a
+        # supported (<= 128 KiB output) segment: mark INVALID so corrupt
         # COPY_4 offsets stay detectably bad without carrying wide fields.
         valid_copy = (pos + 1 + taglen <= clen) & (f_raw > 0) & (f_raw <= jnp.uint32(C_F_BITS))
         valid = jnp.where(is_copy, valid_copy, valid_lit)

@@ -544,10 +544,11 @@ def _encode_kernel(
         if debug_mode == 5:  # pure take chain: meta counts takes
             op3 = op + jnp.where(live, 1, 0)
             tl2, tc2 = tl, tc
-        elif debug_mode in (2, 4):  # walk + extension only: no emission
-            op3 = op + lit + dd + m
-            tl2, tc2 = tl, tc
         else:
+            # Modes 2/4 keep the record stores (they are part of the walk's
+            # cost now) and only skip the drains (chunk_fn); a storeless
+            # variant faulted the TPU worker (undiagnosed Mosaic issue with
+            # the dead scratch refs — benchmarks/NEGATIVE_RESULTS.md r5).
             # RECORD, don't emit: the walk computes exact emitted sizes
             # (same arithmetic the emitters use) and stores pre-digested
             # records; the byte work happens in the post-walk drains,

@@ -77,9 +77,11 @@ def test_boundary_crossing_literal_makes_long_segment():
     assert split_decode(stream) == big
 
 
-def test_block_crossing_copy_falls_back():
-    # Copy whose source reaches behind its block start: block 1 copying
-    # bytes produced in block 0. Valid snappy; not block-local.
+def test_block_crossing_copy_merges_segments():
+    # Copy whose source reaches behind its segment start: the scan MERGES
+    # the segment into its predecessor (the kernel's 17-bit fields and
+    # 128 KiB output buffer cover it) instead of declining — round-5
+    # fallback-surface shrink (VERDICT r4 task 5).
     blk = bytes([1]) * (1 << 16)
     body = bytes([62 << 2]) + ((1 << 16) - 1).to_bytes(3, "little") + blk
     # 4-byte copy at offset 100 — source is inside block 0, dst in block 1
@@ -87,8 +89,13 @@ def test_block_crossing_copy_falls_back():
     lit2 = bytes([3 << 2]) + b"abcd"
     body += lit2
     ulen = (1 << 16) + 8
-    assert oracle.uncompress(varint.encode32(ulen) + body) == blk + blk[-100 : -100 + 4] + b"abcd"
-    assert nat.scan_blocks(body, ulen) is None
+    stream = varint.encode32(ulen) + body
+    out_ref = blk + blk[-100 : -100 + 4] + b"abcd"
+    assert oracle.uncompress(stream) == out_ref
+    starts, oplens = nat.scan_blocks(body, ulen)
+    # merged segment covering the cross-boundary copy, then the tail
+    assert list(oplens) == [(1 << 16) + 4, 4]
+    assert split_decode(stream) == out_ref
 
 
 def test_corrupt_scan_raises():
@@ -109,14 +116,19 @@ def _long_literal_stream(n: int, seed: int = 7) -> tuple[bytes, bytes]:
     return varint.encode32(n) + body, big
 
 
-def test_long_literal_declines_not_corrupt():
-    """>64 KiB literals exceed the Pallas kernel's length field: the scan
-    must DECLINE (fall back), never report corrupt (round-3 regression:
-    such streams raised CorruptInputError through the device fast path)."""
-    for n in (70_000, 200_000):
+def test_long_literal_segments_up_to_128k_declines_past():
+    """Literals up to the kernel's widened 17-bit length field (~128 KiB)
+    now SEGMENT and ride the fast path (round-5 fallback-surface shrink);
+    longer ones still decline — and never report corrupt (round-3
+    regression: such streams raised CorruptInputError)."""
+    for n, fast in ((70_000, True), (120_000, True), (200_000, False)):
         stream, big = _long_literal_stream(n)
         ulen, hdr = nat.uncompressed_length(stream)
-        assert nat.scan_blocks(stream[hdr:], ulen) is None
+        scan = nat.scan_blocks(stream[hdr:], ulen)
+        assert (scan is not None) == fast, n
+        if fast:
+            assert list(scan[1]) == [n]
+            assert split_decode(stream) == big
         assert oracle.uncompress(stream) == big
 
 
@@ -130,9 +142,10 @@ def test_long_literal_uncompress_bit_exact():
         assert xh.uncompress(stream) == big
 
 
-def test_wide_offset_copy4_declines_and_decodes():
-    """COPY_4 with offset > 65535: valid for foreign encoders, outside the
-    kernel's 16-bit offset field -> scan declines, fallback decodes."""
+def test_wide_offset_copy4_merges_and_decodes():
+    """COPY_4 with offset > 65535: valid for foreign encoders; the scan
+    merges it into its source's segment (17-bit offset field, round-5)
+    and the public host decode stays bit-exact."""
     from snappy_tpu.ops import host as xh
 
     stream, big = _long_literal_stream(70_000)
@@ -143,8 +156,49 @@ def test_wide_offset_copy4_declines_and_decodes():
     out_ref = big + big[70_000 - 69_000 : 70_000 - 69_000 + 64]
     stream2 = varint.encode32(len(out_ref)) + body
     assert oracle.uncompress(stream2) == out_ref
-    assert nat.scan_blocks(body, len(out_ref)) is None
+    scan = nat.scan_blocks(body, len(out_ref))
+    assert scan is not None and list(scan[1]) == [len(out_ref)]
+    assert split_decode(stream2) == out_ref
     assert xh.uncompress(stream2) == out_ref
+
+
+def test_merged_segments_decode_on_pallas_interpret():
+    """Merged (>64 KiB output, wide-offset) segments decode bit-exact
+    through the Pallas kernel itself (interpret mode) at the 1<<17 output
+    bucket — the exact configuration the TPU fast path uses for them."""
+    import jax.numpy as jnp
+
+    from snappy_tpu.ops import pallas_decode as pd
+
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 256, 70_000).astype(np.uint8).tobytes()
+    body = bytes([62 << 2]) + (len(big) - 1).to_bytes(3, "little") + big
+    body += bytes([(63 << 2) | 3]) + (66_000).to_bytes(4, "little")  # wide copy
+    out_ref = big + big[70_000 - 66_000 : 70_000 - 66_000 + 64]
+    body += bytes([3 << 2]) + b"tail"
+    out_ref += b"tail"
+    stream = varint.encode32(len(out_ref)) + body
+    assert oracle.uncompress(stream) == out_ref
+    ulen, hdr = nat.uncompressed_length(stream)
+    starts, oplens = nat.scan_blocks(stream[hdr:], ulen)
+    bodyb = stream[hdr:]
+    bounds = list(starts) + [len(bodyb)]
+    segs = [bodyb[bounds[i] : bounds[i + 1]] for i in range(len(starts))]
+    cmax = -(-(max(len(t) for t in segs) + pd.COMP_PAD) // 512) * 512
+    comp = np.zeros((len(segs), cmax), np.uint8)
+    for i, t in enumerate(segs):
+        comp[i, : len(t)] = np.frombuffer(t, np.uint8)
+    fn = pd.decode_blocks_jit(cmax, 1 << 17, True)
+    o, k, _ = fn(
+        jnp.asarray(comp),
+        jnp.asarray(np.array([len(t) for t in segs], np.int32)),
+        jnp.asarray(np.array(list(oplens), np.int32)),
+    )
+    assert bool(np.asarray(k).all())
+    got = b"".join(
+        np.asarray(o)[i, : oplens[i]].tobytes() for i in range(len(segs))
+    )
+    assert got == out_ref
 
 
 def test_scan_starts_int64():
