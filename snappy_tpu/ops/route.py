@@ -35,18 +35,24 @@ import jax.numpy as jnp
 #: sampled-gram duplicate ratio below which a block is treated as
 #: incompressible (observed corpus gap: <= 0.017 vs >= 0.23)
 DUP_THRESHOLD = 0.05
-#: gram sampling stride for the detector
-DETECT_STRIDE = 16
+#: nominal gram sample count for the detector (stride adapts to block size)
+DETECT_SAMPLES = 4096
 
 
 def dup_ratios(buf: np.ndarray, blens: np.ndarray, n_blocks: int) -> np.ndarray:
-    """Sampled 4-gram duplicate ratio per block (host, ~30 us/block)."""
+    """Sampled 4-gram duplicate ratio per block (host, ~30 us/block).
+
+    The stride shrinks with the block so the sample count stays ~4096:
+    a fixed stride under-samples partial tail blocks, which made a
+    compressible 777-byte tail read as incompressible (round-5 bug).
+    Blocks under 1 KiB never route — the sample is too small to trust and
+    routing gains nothing there."""
     out = np.ones(n_blocks, np.float32)
     for i in range(n_blocks):
         n = int(blens[i]) - 3
-        if n < 64:
+        if n < 1024:
             continue  # tiny blocks: device path (routing gains nothing)
-        idx = np.arange(0, n, DETECT_STRIDE)
+        idx = np.arange(0, n, max(1, n >> 12))
         b = buf[i]
         w = (
             b[idx].astype(np.uint32)

@@ -76,6 +76,61 @@ def test_two_process_frame_matches_single_process(tmp_path):
     assert snappy_tpu.uncompress_framed((tmp_path / "mh.frame").read_bytes()) == raw
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "nprocs,n_bytes",
+    [
+        (2, 5 * 65536 + 777),  # odd block count + partial tail block
+        (4, 9 * 65536 + 3000),  # 10 blocks over 8 devices: one process gets
+        # a partial range, the last process gets NO real blocks
+        (4, 3 * 65536),  # fewer real blocks than processes
+    ],
+)
+def test_uneven_splits_match_single_process(nprocs, n_bytes, tmp_path):
+    """Multi-host frames must be byte-identical to single-process output
+    for block counts that don't divide evenly over processes/devices —
+    exercises _my_block_range / pwrite offset arithmetic on uneven tails
+    (VERDICT r4 task 6)."""
+    rng = __import__("numpy").random.RandomState(13)
+    words = [rng.randint(0, 256, rng.randint(4, 17)).astype("uint8").tobytes() for _ in range(64)]
+    raw = b"".join(words[rng.randint(0, 64)] for _ in range(n_bytes // 8))[:n_bytes]
+    in_path = tmp_path / "in.bin"
+    in_path.write_bytes(raw)
+
+    port = _free_port()
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+    env.pop("PYTHONSTARTUP", None)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(REPO, "tests", "multihost_worker.py"),
+                f"127.0.0.1:{port}",
+                str(nprocs),
+                str(pid),
+                str(in_path),
+                str(tmp_path / "mh.frame"),
+                str(tmp_path / "mh.out"),
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(nprocs)
+    ]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        logs.append(out.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log}"
+
+    assert (tmp_path / "mh.out").read_bytes() == raw
+    import snappy_tpu
+
+    assert (tmp_path / "mh.frame").read_bytes() == snappy_tpu.compress_framed(raw)
+
+
 def test_block_range_rejects_noncontiguous_devices():
     """_my_block_range must refuse meshes where a process's devices are
     not contiguous in mesh order (silent block-claim desync otherwise)."""
