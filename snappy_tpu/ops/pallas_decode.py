@@ -1,76 +1,73 @@
-"""Pallas TPU decoder: lean scalar tag walk + class-partitioned record drains.
+"""Pallas TPU decoder: scalar tag walk + FAR/NEAR-partitioned record drains.
 
 The snappy tag stream is a serial chain (reference src/internal.jl:411-466:
 each tag's length determines where the next begins), so one scalar-core
 walk per 64 KiB block is unavoidable. Everything else is arranged around
-three measured v5e facts (benchmarks/NEGATIVE_RESULTS.md):
+measured v5e facts (benchmarks/NEGATIVE_RESULTS.md):
 
-  1. A minimal SMEM walk runs at ~9 cycles/tag; every extra field decode
-     in the walk costs issue slots on the single scalar unit.
-  2. Independent one-row moves with masked stores run at ~7 cycles/record
-     when their loads come from a ref that is never stored to.
-  3. Mosaic orders any VMEM load after prior stores to the same ref
-     (~72-cycle stall), regardless of actual overlap.
+  1. The walk's serial recurrence is one dependent SMEM load plus the
+     address ALU (~9-13 cyc/tag with the record stores' issue load).
+  2. Record drains are scalar-ISSUE bound at ~18-22 ops/record; Mosaic
+     orders any VMEM load after prior stores to the same ref (~70-cycle
+     stall), so loads must come from refs that are never stored to, or be
+     batched ahead of stores.
+  3. Every vectorization escape hatch (lane gathers, one-hot selects,
+     multi-record tiles, XLA gathers/scans) measured 1-2 orders of
+     magnitude off; the per-record scalar-issue architecture is the right
+     one for this core.
 
 Structure per block (grid step):
 
-  PREPASS (XLA, vector): every byte position is decoded as a candidate tag
-  into ONE packed command word — output length / copy offset+length,
-  input advance, is-literal, statically-checkable validity (bounds,
-  offset!=0, oversize literal: reference src/internal.jl:493-518); layout
-  at the constants below. Word-aligned arithmetic only (one
-  single-element shift), because byte-shifted slices at lane granularity
-  relayout at scalar speed on TPU.
+  PREPASS (XLA, vector): every byte position is decoded as a candidate
+  tag into TWO packed words: a command word (f/n payloads, validity) and
+  a walk word with the full input advance in the low bits, making the
+  walk recurrence load -> and -> add and the output advance branch-free
+  (olen = adv - cx + n). Same-offset 64-byte COPY_2 chains fold into
+  single <= 128-byte records at vector cost.
 
-  WALK (scalar): fixed-count unrolled chunks over cmdA; per tag it stores
-  an (ip, op) record into the literal or copy class array (branch-free
-  counter advance), accumulates the validity AND, and advances. Positions
-  past the stream parse as valid no-ops, so the chunk needs no per-tag
-  bound checks; invalid positions parse as zero-advance, pinning the walk
-  so the chunk terminates with ok=0.
+  WALK (scalar, CHUNK=128 tags): per tag, stores a pre-digested record
+  and classifies copies against the chunk's starting output position
+  cop0: FAR copies (source entirely below cop0 — 78.8% of corpus copies
+  at CHUNK=128) vs NEAR (source reaches into this chunk's output).
+  Positions past the stream parse as valid no-ops; invalid positions
+  parse as zero-advance, pinning the walk so the chunk ends with ok=0.
 
-  LITERAL DRAIN: literal bytes live in the compressed buffer, which is
-  never written — loads pipeline freely (fact 2). The hot loop issues ONE
-  masked-store move per record; records crossing an output row (~15-20%)
-  queue branch-free and finish in a row-loop cleanup pass.
+  SNAPSHOT: outa_ref holds a copy of all output below cop0, refreshed
+  once per chunk (the rows the previous chunk wrote, one ordering stall
+  per chunk).
 
-  COPY DRAIN (ordered): groups of GROUP (16) — all loads, then all masked
-  stores, paying the ref-ordering stall once per group (fact 3); only the
-  blended source rows are staged as vectors (masks rebuild from scalars at
-  store time, halving live vregs). Records whose source reaches at-or-past
-  the group leader's output position — and records crossing an output
-  row — re-run after the group's stores as a ONE-SHOT reload+store
-  (everything below their destination is materialized by then);
-  self-overlapping RLE records (reference src/internal.jl:469-509) extend
-  the reloaded period in-register by lane-doubling rolls, so even an f=1
-  run pays the reload stall once. (A/B'd against always-issuing the
-  second-row store: identical, copy2store flag keeps the variant.)
+  LITERAL DRAIN: sources live in comp_ref (never written) — pipelines
+  freely; one masked-store row move per record, row-crossing records
+  queue branch-free into a cleanup pass.
 
-Literals drain before copies within a chunk, so copy sources (strictly
-older output) are always materialized: literal bytes by the literal pass,
-earlier copy bytes in order by the copy pass itself.
+  FAR DRAIN: the literal drain's twin reading outa_ref (never written
+  during drains): no ordering stalls, no hazard tests, and no RLE
+  machinery (far + self-overlap is impossible: f < n would imply
+  src + n > op > cop0).
+
+  NEAR DRAIN (ordered): staged groups over out_ref — all loads, then all
+  masked stores, one ordering stall per group; hazards (source at-or-past
+  the group leader's output: RLE self-overlap and within-group sources)
+  and row-crossing records queue branch-free and re-run serially after
+  the group's stores, RLE extending the reloaded period in-register by
+  lane-doubling rolls.
+
+Drain order per chunk — literals, FAR, NEAR — preserves the dependence
+structure: FAR sources predate the chunk entirely; NEAR runs when all
+literals and FAR output are materialized, with group hazards covering
+intra-NEAR dependencies.
 
 Blocks are independent (reference src/Snappy.jl:29-33): grid = one step
 per block; Pallas double-buffers the HBM<->VMEM block DMAs. Bit-exactness
 vs the CPU oracle across the corpus: tests/test_pallas_decode.py.
 
-Cost account (v5e, round-4 audit). The measured scalar-core cost model
-(benchmarks/exp_vector_walk.py E7) is: dependent SMEM load ~6 cyc,
-lax.cond ~5 cyc, loop backedges ~free, and serial load chains cannot be
-overlapped by unrolling. The walk's recurrence is ONE dependent SMEM
-load (the unified command word) plus ~3 ALU on the address path — i.e.
-the measured 9.1 cyc/tag IS the latency floor of the serial tag chain;
-the remaining ~18 walk ops per tag (Mosaic IR: 1 load, 5 stores, ~16
-ALU) dual-issue underneath it. The drains (7.9 lit / 11.5 copy cyc/tag)
-are vector-issue bound with no serial recurrence. Every vectorization
-escape hatch was measured and is 1-2 orders of magnitude off what it
-would need (lane dynamic_gather ~85 cyc, one-hot reduce-select ~85 cyc,
-8-records-per-tile staging ~200 cyc/record, XLA gathers ~0.09 Gelem/s:
-benchmarks/NEGATIVE_RESULTS.md) — on this hardware the per-record
-scalar-issue architecture is the right one, and its ceiling is set by
-records/byte of the stream.
+Round-5 honesty note: on-chip, this kernel and the pinned round-4 grouped
+kernel (pallas_decode_r4.py) trade places with the chip's thermal regime
+(ab_robust measurements: r5 ~0.87x r4 time in fast regimes, ~1.15x in
+slow ones); bench.py times both in-process and autotunes the headline.
 """
 
+from __future__ import annotations
 from __future__ import annotations
 
 import functools
