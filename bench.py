@@ -208,9 +208,10 @@ def main() -> None:
         ratios0 = route.dup_ratios(buf0, lens0, BATCH)
         host_idx0 = np.flatnonzero(ratios0 < route.DUP_THRESHOLD)
         dev_idx0 = np.setdiff1d(np.arange(BATCH), host_idx0)
-        nbd = 1
-        while nbd < max(len(dev_idx0), 1):
-            nbd <<= 1
+        # exact device-subset count (batch counts are stable per workload;
+        # the power-of-two bucket would pad the subset straight back to the
+        # full batch and erase the routing savings)
+        nbd = max(len(dev_idx0), 1)
         sub = np.zeros((nbd,) + buf0.shape[1:], np.uint8)
         sub[: len(dev_idx0)] = buf0[dev_idx0]
         sublens = np.zeros(nbd, np.int32)

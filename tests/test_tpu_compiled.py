@@ -165,10 +165,12 @@ def test_raw_fast_path_native_stream():
     assert xh.uncompress(s) == raw
 
 
-def test_raw_fast_path_long_literal_falls_back():
-    """Valid streams outside the kernel's envelope (a >64 KiB literal, a
-    COPY_4 offset > 65535) must fall back to the sequential XLA decoder,
-    not raise (round-3 bug: ops/host.py raised on the kernel's nak)."""
+def test_raw_fast_path_long_literal_and_wide_offset():
+    """Round 5: a 70 KiB literal + wide-offset COPY_4 now SEGMENTS (merge +
+    17-bit fields) and decodes on the compiled fast path; a 200 KiB literal
+    still exceeds the envelope and must fall back to the sequential XLA
+    decoder, not raise (round-3 bug: ops/host.py raised on the nak)."""
+    from snappy_tpu.native import runtime as nat
     from snappy_tpu.ops import host as xh
 
     rng = np.random.RandomState(3)
@@ -178,4 +180,13 @@ def test_raw_fast_path_long_literal_falls_back():
     body += bytes([(63 << 2) | 3]) + (69_000).to_bytes(4, "little")
     expect = big + big[1000:1064]
     stream = varint.encode32(len(expect)) + body
+    if nat.available():
+        assert nat.scan_blocks(stream[len(varint.encode32(len(expect))):], len(expect)) is not None
     assert xh.uncompress(stream) == expect
+
+    big2 = rng.randint(0, 256, 200_000).astype(np.uint8).tobytes()
+    body2 = bytes([62 << 2]) + (len(big2) - 1).to_bytes(3, "little") + big2
+    stream2 = varint.encode32(len(big2)) + body2
+    if nat.available():
+        assert nat.scan_blocks(body2, len(big2)) is None
+    assert xh.uncompress(stream2) == big2
