@@ -222,8 +222,7 @@ def main() -> None:
         def routed_dispatch(_=None):
             _ = route.dup_ratios(buf0, lens0, BATCH)  # detector (host)
             out_d = enc(dsub, dsublens)  # async device dispatch
-            for i in host_idx0:  # host natives overlap the device work
-                route._native_block_stream(buf0[i, : lens0[i]].tobytes())
+            route.native_streams_for(buf0, lens0, host_idx0)  # overlapped
             return out_d
 
         enc_streams = route.compress_blocks_routed(buf0, lens0, BATCH, lambda nb: enc)
