@@ -40,6 +40,12 @@ def _load():
         ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_void_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
     ]
+    lib.snappy_tpu_compress_rows.restype = ctypes.c_int
+    lib.snappy_tpu_compress_rows.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+    ]
     lib.snappy_tpu_uncompressed_length.restype = ctypes.c_int
     lib.snappy_tpu_uncompressed_length.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t,
@@ -100,6 +106,29 @@ def compress(data) -> bytes:
     out_len = ctypes.c_size_t()
     _check(lib.snappy_tpu_compress(buf, n, out, len(out), ctypes.byref(out_len)))
     return out.raw[: out_len.value]
+
+
+def compress_rows(buf: np.ndarray, blens: np.ndarray, idx) -> list[bytes]:
+    """Headerless tag streams for the selected rows of a (B, row_w) uint8
+    block matrix — ONE native call for the whole set (the routed encode
+    path's batch interface; per-block ctypes calls cost ~30 us each)."""
+    lib = _load()
+    idx64 = np.ascontiguousarray(np.asarray(idx, np.int64))
+    k = len(idx64)
+    if k == 0:
+        return []
+    lens32 = np.ascontiguousarray(np.asarray(blens, np.int32)[idx64])
+    buf = np.ascontiguousarray(buf)
+    stride = int(lib.snappy_tpu_max_compressed_length(int(lens32.max())))
+    out = np.empty((k, stride), np.uint8)
+    out_lens = np.zeros(k, np.uint32)
+    _check(
+        lib.snappy_tpu_compress_rows(
+            buf.ctypes.data, buf.shape[1], idx64.ctypes.data, lens32.ctypes.data,
+            k, out.ctypes.data, stride, out_lens.ctypes.data,
+        )
+    )
+    return [out[j, : out_lens[j]].tobytes() for j in range(k)]
 
 
 def uncompressed_length(data) -> tuple[int, int]:

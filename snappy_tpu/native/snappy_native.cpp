@@ -260,6 +260,37 @@ int snappy_tpu_compress(const uint8_t* in, size_t n,
   return SNAPPY_TPU_OK;
 }
 
+// Batched HEADERLESS block compress for the routed encode path
+// (ops/route.py): one call compresses every selected row of a (B, row_w)
+// block matrix, amortizing the per-call binding cost that dominated the
+// per-block loop (~30 us/block of a ~100 us/block budget on jpeg).
+// idx[k] selects row k's block; lens[k] is its byte length; row k's tag
+// stream lands at out + k * out_stride with its size in out_lens[k].
+int snappy_tpu_compress_rows(const uint8_t* in, size_t row_w,
+                             const int64_t* idx, const int32_t* lens,
+                             size_t k_rows, uint8_t* out, size_t out_stride,
+                             uint32_t* out_lens) {
+  uint16_t table[kMaxHashTableSize];
+  for (size_t k = 0; k < k_rows; ++k) {
+    const uint8_t* blk = in + static_cast<size_t>(idx[k]) * row_w;
+    const size_t n = static_cast<size_t>(lens[k]);
+    if (snappy_tpu_max_compressed_length(n) > out_stride)
+      return SNAPPY_TPU_BUFFER_TOO_SMALL;
+    size_t table_size = 256;
+    while (table_size < kMaxHashTableSize && table_size < n) table_size <<= 1;
+    int shift = 32 - __builtin_ctzll(table_size);
+    uint8_t* op = out + k * out_stride;
+    uint8_t* op0 = op;
+    for (size_t block = 0; block < n; block += kBlockSize) {
+      std::memset(table, 0, table_size * sizeof(uint16_t));
+      size_t end = block + kBlockSize < n ? block + kBlockSize : n;
+      op = CompressBlock(blk, block, end, table, shift, op);
+    }
+    out_lens[k] = static_cast<uint32_t>(op - op0);
+  }
+  return SNAPPY_TPU_OK;
+}
+
 int snappy_tpu_uncompressed_length(const uint8_t* in, size_t n,
                                    uint64_t* result, size_t* header_len) {
   uint32_t v;

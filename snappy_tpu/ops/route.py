@@ -104,23 +104,30 @@ def _native_block_stream(block: bytes) -> bytes:
 
 
 def native_streams_for(buf: np.ndarray, blens: np.ndarray, host_idx) -> dict:
-    """Compress the routed blocks on host, threaded across cores (the
-    ctypes call releases the GIL, so the C++ encoders run in parallel and
-    overlap the in-flight device dispatch)."""
+    """Compress the routed blocks on host: ONE batched native call per
+    worker thread (native/runtime.py compress_rows — per-block ctypes
+    calls cost ~30 us each), threads splitting the index range (the call
+    releases the GIL, so the C++ encoders run on all cores and overlap
+    the in-flight device dispatch)."""
+    from ..native import runtime as nat
+
     idx = [int(i) for i in host_idx]
     if not idx:
         return {}
-    if len(idx) == 1:
-        return {idx[0]: _native_block_stream(buf[idx[0], : blens[idx[0]]].tobytes())}
-    import concurrent.futures as cf
     import os as _os
 
-    workers = min(max(_os.cpu_count() or 1, 1), 4, len(idx))
+    workers = min(max(_os.cpu_count() or 1, 1), 8, len(idx))
+    if workers == 1:
+        return dict(zip(idx, nat.compress_rows(buf, blens, idx)))
+    import concurrent.futures as cf
+
+    chunks = [idx[k::workers] for k in range(workers)]
     with cf.ThreadPoolExecutor(workers) as pool:
-        outs = list(
-            pool.map(lambda i: _native_block_stream(buf[i, : blens[i]].tobytes()), idx)
-        )
-    return dict(zip(idx, outs))
+        outs = list(pool.map(lambda c: nat.compress_rows(buf, blens, c), chunks))
+    result = {}
+    for c, streams in zip(chunks, outs):
+        result.update(zip(c, streams))
+    return result
 
 
 def dispatch_routed(buf: np.ndarray, blens: np.ndarray, n_blocks: int, encoder_for):
