@@ -1,4 +1,4 @@
-"""Within-run A/B: round-5 fused decode kernel vs the pinned round-4 kernel.
+"""Within-run A/B: round-5 FAR/NEAR decode kernel vs the pinned round-4 kernel.
 
 Chip regime swings ±15-30% between runs, so the only trustworthy
 round-over-round comparison is both kernels timed in ONE process on the
