@@ -272,49 +272,61 @@ def main() -> None:
             _, hdr = oracle.uncompressed_length(np.frombuffer(s, np.uint8))
             enc_streams.append(s[hdr:])
 
-    dec_gbps = time_decode(enc_streams, raw, on_tpu, "own", metrics)
-
-    # ---- within-run control + autotune: the PINNED round-4 decode kernel
-    # on the same streams in the same process. Chip regime swings ±15-30%
-    # run to run AND flips the r4/r5 kernel ranking (round-5 measurement:
-    # the r5 FAR/NEAR kernel wins in fast regimes, the r4 grouped kernel in
-    # slow ones), so the headline is the better of the two in THIS run —
-    # exactly what a deployment-time autotuner would pick — and the
-    # round-over-round claim is the RATIO vs the r4 control (VERDICT r4
-    # task 4), reported whether it favors us or not.
+    # ---- headline + within-run control + autotune. The chip regime swings
+    # ±15-30% run to run, DRIFTS within a run, and flips the r4/r5 kernel
+    # ranking (round-5 measurement: the r5 FAR/NEAR kernel wins in fast
+    # regimes, the round-4 grouped kernel in slow ones). So the two
+    # production kernels are timed in INTERLEAVED rounds on the same
+    # streams — drift hits both equally — the headline is the better of
+    # the two in THIS run (what a deployment-time autotuner picks), and
+    # the round-over-round claim is the RATIO vs the r4 control (VERDICT
+    # r4 task 4), reported whether it favors us or not.
     vs_r4 = None
-    if on_tpu:
+    if not on_tpu:
+        dec_gbps = time_decode(enc_streams, raw, on_tpu, "own", metrics)
+    else:
         from snappy_tpu.ops import pallas_decode_r4
 
-        cmax4, comp4, clens4 = pack_streams(enc_streams, pallas_decode_r4.COMP_PAD)
-        dec4 = pallas_decode_r4.decode_blocks_jit(cmax4, BLOCK_SIZE)
-        d4args = (
-            jax.device_put(comp4),
-            jax.device_put(clens4),
+        cmax, comp_np, clens_np = pack_streams(enc_streams, pallas_decode.COMP_PAD)
+        dargs = (
+            jax.device_put(comp_np),
+            jax.device_put(clens_np),
             jax.device_put(np.full(len(enc_streams), BLOCK_SIZE, np.int32)),
         )
-        out4, ok4, _ = dec4(*d4args)
-        assert bool(np.asarray(ok4).all()), "r4 control decode flagged corrupt"
-        assert np.asarray(out4).tobytes() == raw[: len(enc_streams) * BLOCK_SIZE]
-        st4 = time_dispatch_stats(dec4, d4args)
-        gbps4 = len(enc_streams) * BLOCK_SIZE / st4["min"] / 1e9
-        vs_r4 = dec_gbps / gbps4
+        kernels = {
+            "r5_farnear": pallas_decode.decode_blocks_jit(cmax, BLOCK_SIZE),
+            "r4_grouped": pallas_decode_r4.decode_blocks_jit(cmax, BLOCK_SIZE),
+        }
+        for name, fn in kernels.items():
+            o, k, _ = fn(*dargs)
+            assert bool(np.asarray(k).all()), f"decode flagged corrupt ({name})"
+            assert np.asarray(o).tobytes() == raw[: len(enc_streams) * BLOCK_SIZE], name
+        rounds = {n: [] for n in kernels}
+        for _ in range(3):
+            for name, fn in kernels.items():
+                rounds[name].append(time_dispatch_stats(fn, dargs, iters=3)["min"])
+        best_t = {n: min(ts) for n, ts in rounds.items()}
+        nbytes = len(enc_streams) * BLOCK_SIZE
+        gbps = {n: nbytes / t / 1e9 for n, t in best_t.items()}
+        vs_r4 = gbps["r5_farnear"] / gbps["r4_grouped"]
+        metrics.add(
+            stage="decode_own",
+            gbps_per_chip=gbps["r5_farnear"],
+            seconds_per_batch=best_t["r5_farnear"],
+            rounds_ms={n: [round(t * 1e3, 2) for t in ts] for n, ts in rounds.items()},
+            hbm_roofline_frac=gbps["r5_farnear"] * 1.5 / HBM_GBPS,
+            kernel="pallas",
+        )
         metrics.add(
             stage="decode_own_r4control",
-            gbps_per_chip=gbps4,
-            seconds_per_batch=st4["min"],
-            timing=st4,
+            gbps_per_chip=gbps["r4_grouped"],
+            seconds_per_batch=best_t["r4_grouped"],
             vs_r4_same_run=vs_r4,
             kernel="pallas_r4_pinned",
         )
-        if gbps4 > dec_gbps:
-            metrics.add(
-                stage="decode_own_autotuned",
-                gbps_per_chip=gbps4,
-                picked="r4_grouped",
-                note="regime favored the grouped kernel this run",
-            )
-            dec_gbps = gbps4
+        picked = max(gbps, key=gbps.get)
+        dec_gbps = gbps[picked]
+        metrics.add(stage="decode_own_autotuned", gbps_per_chip=dec_gbps, picked=picked)
 
     line = {
         "metric": "device_decompress_throughput",

@@ -97,7 +97,8 @@ UNROLL_TAKES = 4
 
 
 def candidate_cmds(
-    blocks_u8: jnp.ndarray, blens: jnp.ndarray, min_profit: int = 1
+    blocks_u8: jnp.ndarray, blens: jnp.ndarray, min_profit: int = 1,
+    with_alt: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-position parse commands: the vectorized half of the greedy parse.
 
@@ -197,7 +198,14 @@ def candidate_cmds(
     #
     takeS = (pS >= min_profit) & (mS >= 4)
     packA = jnp.where(takeS, dS | (mS << 16), 0)
-    _, pk, d2nd = jax.lax.sort((sp, packA, alt), dimension=-1, num_keys=1)
+    if with_alt:
+        _, pk, d2nd = jax.lax.sort((sp, packA, alt), dimension=-1, num_keys=1)
+    else:
+        # contest disabled: one fewer unsort operand (measured gate-safe:
+        # every corpus file still beats the native greedy baseline,
+        # round-5 density table in benchmarks/NEGATIVE_RESULTS.md)
+        _, pk = jax.lax.sort((sp, packA), dimension=-1, num_keys=1)
+        d2nd = jnp.zeros_like(pk)
     d = pk & 0xFFFF
     # Clamp to the block tail: a w1 compare may claim bytes past blen.
     m = jnp.minimum(pk >> 16, blen - pos)
@@ -728,13 +736,15 @@ def _encode_kernel(
     meta_ref[0, 0, 0] = op
 
 
-def _build(block_size: int, interpret: bool, min_profit: int = 1, debug_mode: int = 0, unroll: int = UNROLL_TAKES):
+def _build(block_size: int, interpret: bool, min_profit: int = 1, debug_mode: int = 0, unroll: int = UNROLL_TAKES, contest: bool = True):
     if block_size % LANES:
         raise ValueError(f"block_size must be a multiple of {LANES}")
     n = block_size
     nri = -(-(n + ENC_PAD) // LANES) + 1
     nro = -(-BLOCK_MAX_OUT // LANES) + 1
 
+    if not contest and debug_mode == 0:
+        debug_mode = 3  # the no-contest record path
     kernel = functools.partial(
         _encode_kernel, nri=nri, nro=nro, interpret=interpret, debug_mode=debug_mode, unroll=unroll
     )
@@ -742,7 +752,7 @@ def _build(block_size: int, interpret: bool, min_profit: int = 1, debug_mode: in
     def fn(blocks_u8: jnp.ndarray, blens: jnp.ndarray):
         b = blocks_u8.shape[0]
         assert blocks_u8.shape[1] == n + ENC_PAD
-        cmds, alt = candidate_cmds(blocks_u8, blens, min_profit)
+        cmds, alt = candidate_cmds(blocks_u8, blens, min_profit, with_alt=contest)
         # LE u32 at every byte position p in [0, n+4): match probes index up
         # to p == blen <= n. Same arithmetic as candidate_cmds' word_at(0)
         # (XLA CSEs the shared subgraph); padded to a lane-aligned width.
@@ -797,7 +807,7 @@ def _build(block_size: int, interpret: bool, min_profit: int = 1, debug_mode: in
 
 
 @functools.lru_cache(maxsize=8)
-def encode_blocks_jit(block_size: int = BLOCK_SIZE, interpret: bool = False, min_profit: int = 1):
+def encode_blocks_jit(block_size: int = BLOCK_SIZE, interpret: bool = False, min_profit: int = 1, contest: bool = False):
     """jit-compiled Pallas block encoder.
 
     (uint8[B, block_size + ENC_PAD], int32[B] lengths) ->
@@ -805,5 +815,8 @@ def encode_blocks_jit(block_size: int = BLOCK_SIZE, interpret: bool = False, min
     Output contract matches encode_xla.encode_blocks_jit. ``min_profit``
     sets the greedy take threshold (1 = densest, reference-equivalent;
     higher values thin tags for decode speed at a small density cost).
+    ``contest=True`` re-extends capped runner-up candidates (+0.5%
+    density, -13% speed — measured round 5; every corpus file beats the
+    native greedy baseline either way, so the default favors speed).
     """
-    return jax.jit(_build(block_size, interpret, min_profit))
+    return jax.jit(_build(block_size, interpret, min_profit, contest=contest))
