@@ -363,7 +363,39 @@ def main() -> None:
                 s = host_enc(raw[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE])
                 _, hdr = oracle.uncompressed_length(np.frombuffer(s, np.uint8))
                 foreign.append(s[hdr:])
-        time_decode(foreign, raw, on_tpu, "foreign", metrics)
+        if not on_tpu:
+            time_decode(foreign, raw, on_tpu, "foreign", metrics)
+        else:
+            # same two-kernel interleaved autotune as the headline
+            from snappy_tpu.ops import pallas_decode_r4
+
+            cmaxf, compf, clensf = pack_streams(foreign, pallas_decode.COMP_PAD)
+            fargs = (
+                jax.device_put(compf),
+                jax.device_put(clensf),
+                jax.device_put(np.full(len(foreign), BLOCK_SIZE, np.int32)),
+            )
+            fkernels = {
+                "r5_farnear": pallas_decode.decode_blocks_jit(cmaxf, BLOCK_SIZE),
+                "r4_grouped": pallas_decode_r4.decode_blocks_jit(cmaxf, BLOCK_SIZE),
+            }
+            for name, fn in fkernels.items():
+                o, k, _ = fn(*fargs)
+                assert bool(np.asarray(k).all()) and np.asarray(o).tobytes() == raw, name
+            frounds = {n: [] for n in fkernels}
+            for _ in range(2):
+                for name, fn in fkernels.items():
+                    frounds[name].append(time_dispatch_stats(fn, fargs, iters=3)["min"])
+            fgbps = {n: len(foreign) * BLOCK_SIZE / min(ts) / 1e9 for n, ts in frounds.items()}
+            fpick = max(fgbps, key=fgbps.get)
+            metrics.add(
+                stage="decode_foreign",
+                gbps_per_chip=fgbps[fpick],
+                picked=fpick,
+                per_kernel_gbps={n: round(v, 4) for n, v in fgbps.items()},
+                hbm_roofline_frac=fgbps[fpick] * 1.5 / HBM_GBPS,
+                kernel="pallas(autotuned)",
+            )
 
     # ---- fallback cliff: the windowed XLA decoder on a hostile-but-valid
     # stream that defeats segmentation (one >128 KiB literal up front, then
