@@ -28,34 +28,32 @@ Counterpart of pallas_decode.py, replacing the reference's scalar scan
 Blocks are independent (reference src/Snappy.jl:29-33): grid = one step
 per 64 KiB block, inputs/outputs double-buffered by Pallas.
 
-Measured cost anatomy (v5e, round 4; 128-block corpus batch at
-min_profit=2; scalar-core cost model from benchmarks/exp_vector_walk.py
-E7: a dependent SMEM load costs ~6 cyc, a lax.cond ~5 cyc, loop backedges
-are ~free, and a truly serial load chain cannot be overlapped by
-unrolling — only independent work can):
+Measured cost anatomy (v5e, round 5; 128-block corpus batch at
+min_profit=2, contest off — within-run A/B in benchmarks/ab_encode.py
+and /tmp-era matrix runs recorded in benchmarks/NEGATIVE_RESULTS.md):
 
-  prepass (XLA)      ~30 ms   two kv-sorts ~24 + suffix-min hops scan ~6
-  take chain         ~24 ms   ~18 cyc/take: ONE dependent SMEM load (the
-                              hops word carries the next take's d/m and a
-                              12-bit delta) + hop-loop cond + ~8 ALU.
-                              Round 3 paid ~2 serial loads + 2 conds here
-                              (~122 cyc/take incl. extension): the hops
-                              repack + skip-fold removal is a measured
-                              ~2x on the walk phase (85 -> ~43 ms).
-  match extension    ~13 ms   hoisted word probe + rare while iterations
-  contest            ~0-5 ms  one cond per take; probes only when the
-                              runner-up was capped
-  emission           ~57 ms   ~45 cyc/take: tag emitters + body mover,
-                              vector-issue bound; the big round-4 cut was
-                              predicating the whole literal emitter
-                              behind pl.when(lit > 0) (back-to-back copy
-                              takes previously issued ~26 empty-mask ops)
-  total              ~113 ms  (was ~139 ms round 3)
+  prepass (XLA)      ~25-28 ms  two kv-sorts + suffix-min hops scan
+  take chain         ~53-55 ms  the serial hops-load recurrence (the
+                                round-4 "24 ms" figure was chip-regime
+                                fiction: the round-4 kernel's own chain
+                                measures the same 55 ms in-process today)
+  match extension    (in chain) hoisted word probe + rare iterations
+  emission drains    ~18 ms     record-split: the walk stores (anchor,
+                                op, lit / op, d, m) records; branch-free
+                                drains materialize tag bytes + literal
+                                bodies (tag blends into the body row's
+                                masked store); long/crossing tags re-emit
+                                via the original emitters in a cleanup
+                                pass. Same issue cost as the old in-walk
+                                emission (the core is scalar-issue-bound
+                                everywhere) but off the latency chain.
+  total              ~104 ms    (contest=True adds ~13% for +0.5%
+                                density; every corpus file beats the
+                                native greedy baseline either way)
 
-The residual chain cost is latency-floor-bound: the next take's address
-depends on the current take's loaded word, so the ~6-cyc load plus its
-dependent ALU cannot be hidden (unrolling was measured a no-op at U=4
-vs U=8, and the round-3 dual-block interleave experiment was SLOWER).
+Incompressible blocks never reach this kernel: ops/route.py detects them
+on host (~60 us/block sampled dup-ratio) and compresses them with the
+batched C++ greedy encoder while the device dispatch is in flight.
 """
 
 from __future__ import annotations
