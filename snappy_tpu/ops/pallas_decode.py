@@ -91,9 +91,13 @@ COMP_PAD = 4
 # (measured on the corpus: 48.7% at 1024, 70.7% at 256, 78.8% at 128;
 # on-chip A/B: c128 27.1 ms vs c256 41.4 ms vs r4 31.5 ms on the
 # 128-block batch — benchmarks/NEGATIVE_RESULTS.md round-5 addendum).
-CHUNK = 128
+CHUNK = 96
 WALK_UNROLL = 16  # tags per walk backedge
-GROUP = 16  # NEAR-copy-drain batch width
+GROUP = 8  # NEAR-copy-drain batch width
+# (round-5 in-regime sweep: c128/g16 50.5 ms -> c128/g8 46.3 -> c96/g8
+# 45.3 on the 128-block batch; smaller NEAR groups shrink the hazard
+# window faster than they add ordering stalls once FAR carries ~80% of
+# copies)
 
 # Unified per-position command word (ONE int32 per byte position — halves
 # the per-block SMEM command DMA vs the old cmdA/cmdB pair). Class bits

@@ -18,6 +18,12 @@ the frame is assembled without serializing the payload through one host:
               output slice at block_size offsets. No collective at all —
               ordering falls out of the index.
 
+Note: the single-host framed path content-routes incompressible blocks to
+the host-native encoder (ops/route.py); the mesh-sharded path here keeps
+every block on-device (per-host routing across a shard_map boundary is
+future work), so a frame containing incompressible blocks may differ
+byte-wise between the two paths — both are valid, gate-equal streams.
+
 Call :func:`initialize` once per process before using these drivers
 (wraps jax.distributed.initialize; works across real pods and localhost
 CPU process groups alike — tests/test_multihost.py runs exactly this with
