@@ -108,14 +108,21 @@ def time_dispatch_stats(fn, args, iters: int = 7) -> dict:
         out = fn(*args)
         fence(out)
         times.append(max(time.perf_counter() - t0 - fence_cost, 1e-9))
-    times.sort()
-    tmin = times[0]
-    tmed = times[len(times) // 2]
+    # The fence cost (~25 ms) is comparable to the dispatch and its jitter
+    # occasionally EXCEEDS a sample, leaving a non-physical near-zero time
+    # whose "min" then reports absurd throughput (observed once: 8 PB/s).
+    # Drop samples below a physical floor; fall back to the raw set only
+    # if everything is tiny (a genuinely sub-floor dispatch).
+    floor = 1e-3
+    valid = [t for t in times if t >= floor] or times
+    valid.sort()
+    tmin = valid[0]
+    tmed = valid[len(valid) // 2]
     return {
         "min": tmin,
         "median": tmed,
-        "n": len(times),
-        "spread": (times[-1] - times[0]) / tmed,
+        "n": len(valid),
+        "spread": (valid[-1] - valid[0]) / tmed,
     }
 
 
