@@ -25,10 +25,10 @@ Structure per block (grid step):
   (olen = adv - cx + n). Same-offset 64-byte COPY_2 chains fold into
   single <= 128-byte records at vector cost.
 
-  WALK (scalar, CHUNK=128 tags): per tag, stores a pre-digested record
+  WALK (scalar, CHUNK=96 tags): per tag, stores a pre-digested record
   and classifies copies against the chunk's starting output position
-  cop0: FAR copies (source entirely below cop0 — 78.8% of corpus copies
-  at CHUNK=128) vs NEAR (source reaches into this chunk's output).
+  cop0: FAR copies (source entirely below cop0 — ~80% of corpus copies
+  at CHUNK=96) vs NEAR (source reaches into this chunk's output).
   Positions past the stream parse as valid no-ops; invalid positions
   parse as zero-advance, pinning the walk so the chunk ends with ok=0.
 
